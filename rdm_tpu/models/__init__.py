@@ -1,0 +1,4 @@
+from .registry import (register_model, get_model, create_model,  # noqa: F401
+                       get_model_fn, get_score_fn, get_cf_score_fn)
+from .ncsnpp import NCSNpp  # noqa: F401
+from . import ema  # noqa: F401

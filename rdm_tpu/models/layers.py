@@ -1,0 +1,218 @@
+"""Building blocks for the TPU-native NCSN++ (Flax / NHWC).
+
+Semantics rebuilt from the reference layer zoo
+(``Reflected-Diffusion/models/layers.py`` and ``layerspp.py``); layout is
+NHWC end-to-end (TPU native), initializers match the reference:
+
+* ``default_init`` = JAX-style ``variance_scaling(scale, fan_avg, uniform)``
+  (reference ``layers.py:39-77``), with scale 0 mapped to 1e-10.
+* ``NIN`` (1x1 "network-in-network" dense over channels, reference
+  ``layers.py:531-540``) with init_scale 0.1 default.
+* GroupNorm uses ``num_groups = min(C // 4, 32)``, eps 1e-6 throughout
+  (reference ``layerspp.py:74, 176, 190``).
+* torch-Linear-equivalent init for the time MLP / label embedding
+  (kaiming_uniform(a=sqrt(5)) == variance_scaling(1/3, fan_in, uniform)).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# --------------------------------------------------------------------------
+# Initializers
+
+
+def default_init(scale: float = 1.0):
+    """DDPM initializer (reference ``layers.py:73-77``)."""
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def torch_linear_init():
+    """torch ``nn.Linear`` default weight init: kaiming_uniform(a=sqrt(5))
+    == U(+-1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform)."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def get_act(name: str) -> Callable:
+    """Activation registry (reference ``layers.py:14-26``)."""
+    name = name.lower()
+    if name == "elu":
+        return jax.nn.elu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    if name == "swish":
+        return jax.nn.silu
+    raise NotImplementedError(f"activation {name} does not exist")
+
+
+def group_count(channels: int) -> int:
+    return min(channels // 4, 32)
+
+
+# --------------------------------------------------------------------------
+# Modules
+
+
+class Conv3x3(nn.Module):
+    """3x3 conv, DDPM init, SAME padding (reference ``layers.py:103-110``)."""
+    out_ch: int
+    init_scale: float = 1.0
+    stride: int = 1
+    padding: str | Sequence = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_ch, (3, 3), strides=(self.stride, self.stride),
+                       padding=self.padding, use_bias=True,
+                       kernel_init=default_init(self.init_scale),
+                       bias_init=nn.initializers.zeros,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Conv1x1(nn.Module):
+    """1x1 conv, DDPM init (reference ``layers.py:85-90``)."""
+    out_ch: int
+    init_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_ch, (1, 1), use_bias=True,
+                       kernel_init=default_init(self.init_scale),
+                       bias_init=nn.initializers.zeros,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class NIN(nn.Module):
+    """Channel-wise dense (reference ``layers.py:531-540``). NHWC makes this
+    a plain trailing-axis matmul — exactly what the MXU wants."""
+    num_units: int
+    init_scale: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        W = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
+        b = self.param("b", nn.initializers.zeros, (self.num_units,))
+        y = jnp.einsum("...c,cd->...d", x.astype(self.dtype), W.astype(self.dtype))
+        return y + b.astype(self.dtype)
+
+
+class GaussianFourierProjection(nn.Module):
+    """sin/cos(2 pi W x) time embedding with fixed W ~ N(0, scale^2)
+    (reference ``layerspp.py:19-28``).  W is a parameter for checkpoint
+    parity but frozen via stop_gradient (torch marks it requires_grad=False).
+    """
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        W = self.param("W", nn.initializers.normal(stddev=self.scale),
+                       (self.embedding_size,))
+        W = jax.lax.stop_gradient(W)
+        x_proj = x[:, None] * W[None, :] * 2 * math.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class AttnBlockpp(nn.Module):
+    """Full-spatial self-attention (reference ``layerspp.py:67-96``).
+
+    At GTO scale this is 81-token attention over <=128 channels: the whole
+    block lives in VMEM and XLA fuses it well; a hand-written Pallas kernel
+    is provided in ``rdm_tpu.ops.pallas.attention`` and used when enabled.
+    """
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=group_count(C), epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(x)
+        q = NIN(C, name="q", dtype=self.dtype)(h)
+        k = NIN(C, name="k", dtype=self.dtype)(h)
+        v = NIN(C, name="v", dtype=self.dtype)(h)
+
+        q = q.reshape(B, H * W, C)
+        k = k.reshape(B, H * W, C)
+        v = v.reshape(B, H * W, C)
+        w = jnp.einsum("bqc,bkc->bqk", q, k,
+                       preferred_element_type=jnp.float32) * (int(C) ** -0.5)
+        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+        h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
+        h = NIN(C, init_scale=self.init_scale, name="proj", dtype=self.dtype)(h)
+        out = x + h
+        return out / math.sqrt(2.0) if self.skip_rescale else out
+
+
+class ResnetBlockDDPMpp(nn.Module):
+    """GN -> act -> conv3x3 -> +time -> GN -> act -> dropout -> conv3x3(0-init)
+    with NIN shortcut and /sqrt(2) skip rescale (reference
+    ``layerspp.py:171-214``)."""
+    act: Callable
+    out_ch: int
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, train: bool = False):
+        in_ch = x.shape[-1]
+        h = self.act(nn.GroupNorm(num_groups=group_count(in_ch), epsilon=1e-6,
+                                  dtype=self.dtype, name="norm0")(x))
+        h = Conv3x3(self.out_ch, name="conv0", dtype=self.dtype)(h)
+        if temb is not None:
+            h = h + nn.Dense(self.out_ch, kernel_init=default_init(),
+                             bias_init=nn.initializers.zeros,
+                             dtype=self.dtype, name="temb_proj")(self.act(temb))[:, None, None, :]
+        h = self.act(nn.GroupNorm(num_groups=group_count(self.out_ch), epsilon=1e-6,
+                                  dtype=self.dtype, name="norm1")(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = Conv3x3(self.out_ch, init_scale=self.init_scale, name="conv1",
+                    dtype=self.dtype)(h)
+        if in_ch != self.out_ch:
+            x = NIN(self.out_ch, name="shortcut", dtype=self.dtype)(x)
+        out = x + h
+        return out / math.sqrt(2.0) if self.skip_rescale else out
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + optional conv (reference ``layerspp.py:99-131``,
+    non-FIR path only: GTO config has ``fir: false``)."""
+    with_conv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from rdm_tpu.ops.resize import upsample2x_nearest
+        h = upsample2x_nearest(x)
+        if self.with_conv:
+            h = Conv3x3(x.shape[-1], name="conv", dtype=self.dtype)(h)
+        return h
+
+
+class Downsample(nn.Module):
+    """Pad-right/bottom-by-1 then stride-2 VALID conv, or 2x2 avg-pool
+    (reference ``layerspp.py:134-168``, non-FIR path)."""
+    with_conv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            h = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return Conv3x3(x.shape[-1], stride=2, padding="VALID",
+                           name="conv", dtype=self.dtype)(h)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))

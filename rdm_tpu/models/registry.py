@@ -1,0 +1,83 @@
+"""Model registry + score-function wrappers.
+
+Mirrors the reference registry surface (``models/utils.py:8-140``) in a
+functional style: models are Flax modules, "score functions" are pure
+closures over ``(module, params)`` suitable for jit/scan.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_MODELS = {}
+
+
+def register_model(cls=None, *, name=None):
+    """Decorator registering a model class (reference ``models/utils.py:11-28``)."""
+    def _register(c):
+        local_name = name if name is not None else c.__name__
+        if local_name in _MODELS:
+            raise ValueError(f"Already registered model with name: {local_name}")
+        _MODELS[local_name] = c
+        return c
+    return _register if cls is None else _register(cls)
+
+
+def get_model(name):
+    return _MODELS[name]
+
+
+def create_model(config):
+    """Instantiate the Flax module named by ``config.model.name``
+    (reference ``models/utils.py:48-52``)."""
+    return get_model(config.model.name).from_config(config)
+
+
+def get_model_fn(model, params, train: bool = False):
+    """Bind module + params into ``fn(x, time_cond, class_labels, rngs)``
+    (reference ``models/utils.py:55-83``)."""
+    def model_fn(x, time_cond, class_labels=None, rngs=None):
+        return model.apply({"params": params}, x, time_cond,
+                           class_labels=class_labels, train=train, rngs=rngs)
+    return model_fn
+
+
+def get_score_fn(sde, model, params, train: bool = False):
+    """Score function: the model conditions on the marginal sigma
+    ``sde.marginal_prob(0, t)[1]`` and its output IS the score directly
+    (reference ``models/utils.py:86-105``; no sigma-division unless the
+    model itself sets scale_by_sigma)."""
+    model_fn = get_model_fn(model, params, train=train)
+
+    def score_fn(x, t, class_labels=None, rngs=None):
+        _, time_cond = sde.marginal_prob(jnp.zeros_like(x), t)
+        return model_fn(x, time_cond, class_labels=class_labels, rngs=rngs)
+
+    return score_fn
+
+
+def get_cf_score_fn(sde, model, params, class_labels, weight):
+    """Classifier-free-guided score: ONE 2B-batch cond/uncond forward
+    (reference ``models/utils.py:108-140``), then
+    ``(1 + w) * s_cond - w * s_uncond`` with per-sample weight broadcast.
+    """
+    score_fn = get_score_fn(sde, model, params, train=False)
+
+    def weighted_score_fn(x, t):
+        B = x.shape[0]
+        concat_x = jnp.concatenate([x, x], axis=0)
+        concat_t = jnp.concatenate([t, t], axis=0)
+        concat_cl = jnp.concatenate(
+            [class_labels, jnp.zeros_like(class_labels)], axis=0)
+        concat_score = score_fn(concat_x, concat_t, concat_cl)
+        s_cond, s_uncond = concat_score[:B], concat_score[B:]
+
+        if weight is None:
+            w = jnp.zeros((B,), x.dtype)
+        elif isinstance(weight, (int, float)):
+            w = jnp.full((B,), float(weight), x.dtype)
+        else:
+            w = jnp.asarray(weight, x.dtype)
+        w = w.reshape(-1, *([1] * (x.ndim - 1)))
+        return (1.0 + w) * s_cond - w * s_uncond
+
+    return weighted_score_fn
