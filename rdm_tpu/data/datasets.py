@@ -1,0 +1,139 @@
+"""Dataset pipeline (reference ``Reflected-Diffusion/datasets.py``).
+
+TPU-native design: the GTO Halo training set is ~100k x 67 float32 — a few
+tens of MB — so instead of a torch DataLoader with worker processes, we
+vectorise the whole preprocessing once into a device-resident array and
+serve random batches by on-device gather, keeping the input pipeline off
+the host entirely (the north star's "pkl -> pad -> reshape as on-device
+gather/reshape").  Per-host sharding replaces ``DistributedSampler``: each
+JAX process draws from its contiguous shard
+(reference ``datasets.py:152-175``).
+
+Preprocessing parity (reference ``datasets.py:82-98``):
+  * label = vec[0] (the normalised halo-energy classifier);
+  * pad 67 -> 81 with zeros, standardise with the reference's hardcoded
+    global mean/std (0.4652 / 0.1811), reshape to 9x9x1 (NHWC).
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Iterator, Tuple
+
+import numpy as np
+
+GTO_MEAN = 0.4652
+GTO_STD = 0.1811
+
+
+def make_synthetic_gto_pkl(path: str, n: int = 1024, seed: int = 0) -> str:
+    """Synthesize a [N, 67] training pickle in the documented layout
+    (SURVEY.md 2.6: [alpha_norm, 3 times, 20x(ux,uy,uz), fuel, period,
+    manifold] all normalised to [0,1]).  The reference repository strips the
+    real 100k-row pkl (``.MISSING_LARGE_BLOBS``), so tests and demos build
+    fixtures with this."""
+    rng = np.random.default_rng(seed)
+    data = rng.uniform(0.05, 0.95, size=(n, 67)).astype(np.float32)
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    return path
+
+
+class GTOHaloImageDataset:
+    """Vectorised equivalent of reference ``datasets.py:82-98``."""
+
+    def __init__(self, pkl_path: str):
+        with open(pkl_path, "rb") as f:
+            data = pickle.load(f)
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim != 2 or data.shape[1] > 81:
+            raise ValueError(f"expected [N, <=81] trajectory vectors, got {data.shape}")
+        self.raw = data
+        n, d = data.shape
+        self.labels = data[:, :1].copy()  # first value as label
+        padded = np.zeros((n, 81), np.float32)
+        padded[:, :d] = data
+        padded = (padded - GTO_MEAN) / GTO_STD
+        self.images = padded.reshape(n, 9, 9, 1)  # NHWC
+
+    def __len__(self):
+        return self.images.shape[0]
+
+    def __getitem__(self, idx):
+        return self.images[idx], self.labels[idx]
+
+
+class GTOHaloTrajectoryDataset:
+    """1-D variant (reference ``datasets.py:68-80``): standardised [N, 67]
+    rows, dummy label."""
+
+    def __init__(self, pkl_path: str):
+        with open(pkl_path, "rb") as f:
+            data = pickle.load(f)
+        self.data = (np.asarray(data, np.float32) - GTO_MEAN) / GTO_STD
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def __getitem__(self, idx):
+        return self.data[idx], 0
+
+
+def _epoch_iterator(images, labels, batch: int, seed: int, shard: Tuple[int, int],
+                    shuffle: bool = True) -> Iterator:
+    """Infinite epoch-reshuffled batch iterator over this host's shard
+    (replaces cycle_loader + DistributedSampler, reference
+    ``datasets.py:21-26,152-175``)."""
+    n_proc, proc_idx = shard
+    rng = np.random.default_rng(seed)
+    n = images.shape[0]
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        order = order[proc_idx::n_proc]  # per-host interleaved shard
+        for i in range(0, len(order) - batch + 1, batch):
+            sel = order[i:i + batch]
+            yield images[sel], labels[sel]
+        if len(order) < batch:  # tiny dataset: sample with replacement
+            sel = rng.integers(0, n, size=batch)
+            yield images[sel], labels[sel]
+
+
+def get_dataset(config, evaluation: bool = False, distributed: bool = True):
+    """Build infinite train/eval iterators of (images NHWC, labels)
+    (reference ``datasets.py:100-194``).  Batch sizes are GLOBAL; each JAX
+    process yields its ``1/process_count`` share, mirroring the reference's
+    per-GPU ``batch_size // ngpus`` (``datasets.py:178``)."""
+    import jax
+
+    name = config.data.dataset
+    if name == "GTOHaloImage":
+        ds = GTOHaloImageDataset(config.data.pkl_path)
+        images, labels = ds.images, ds.labels
+    elif name == "GTOHalo":
+        ds = GTOHaloTrajectoryDataset(config.data.pkl_path)
+        images = ds.data[:, None, :]  # [N, 1, 67] channel-first 1-D seqs
+        labels = np.zeros((len(ds), 1), np.float32)
+    else:
+        raise ValueError(
+            f"{name} is not available in the TPU rebuild yet "
+            "(image datasets CIFAR10/ImageNet32/ImageNet64C need an image "
+            "decoder; see rdm_tpu/data/datasets.py)")
+
+    n_proc = jax.process_count() if distributed else 1
+    proc = jax.process_index() if distributed else 0
+
+    if evaluation:
+        per_host = config.eval.batch_size // n_proc
+        return _epoch_iterator(images, labels, per_host, seed=7,
+                               shard=(n_proc, proc), shuffle=False)
+
+    if config.training.batch_size % n_proc != 0:
+        raise ValueError(
+            f"Train batch size {config.training.batch_size} not divisible by {n_proc} hosts")
+    if config.eval.batch_size % n_proc != 0:
+        raise ValueError(
+            f"Eval batch size {config.eval.batch_size} not divisible by {n_proc} hosts")
+    train_it = _epoch_iterator(images, labels, config.training.batch_size // n_proc,
+                               seed=0, shard=(n_proc, proc))
+    eval_it = _epoch_iterator(images, labels, config.eval.batch_size // n_proc,
+                              seed=1, shard=(n_proc, proc))
+    return train_it, eval_it

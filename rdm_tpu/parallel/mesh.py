@@ -1,0 +1,76 @@
+"""Device mesh + sharding specs: the TPU-native replacement for the
+reference's DDP/NCCL layer (``run_train.py:30-49,79``; SURVEY.md 2.8).
+
+The workload is data-parallel only (a ~6 M-param score net; TP/PP/SP are
+out of scope by design, matching the reference).  Parameters are
+replicated; batches are sharded on the leading axis over a 1-D
+``Mesh(('data',))`` laid out over ICI.  Gradient all-reduce is inserted by
+the SPMD partitioner — there is no hand-written collective layer, exactly
+as NCCL all-reduce was implicit in DDP.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh
+and feed per-host shards (``shard_host_batch``); the data pipeline already
+yields per-process shards (``rdm_tpu.data.datasets``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis sharding for batches."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_host_batch(mesh: Mesh, arrays):
+    """Assemble a global batch from this host's local shard (multi-host) or
+    place a full batch onto the mesh (single-host)."""
+    from jax.experimental import multihost_utils
+    if jax.process_count() > 1:
+        return multihost_utils.host_local_array_to_global_array(
+            arrays, mesh, P("data"))
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), arrays)
+
+
+def jit_train_step(step_fn, mesh: Mesh, donate: bool | None = None):
+    """jit the train step with params/opt/ema replicated and the batch
+    sharded on the data axis.  XLA inserts the gradient all-reduce over ICI.
+
+    ``donate``: donate the TrainState buffers (halves peak parameter memory
+    on TPU).  Defaults to on for TPU; forced off on the CPU backend, where
+    buffer donation + in-process collectives deadlocks the thunk runtime's
+    rendezvous (reproduced on jax 0.9 / 8 virtual devices; grads-only and
+    non-donated programs run fine).
+    """
+    if donate is None:
+        donate = jax.default_backend() != "cpu"
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def jit_eval_step(eval_fn, mesh: Mesh):
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(repl, data, data, repl),
+                   out_shardings=repl)

@@ -1,0 +1,70 @@
+"""Config composition + data pipeline tests."""
+import os
+
+import numpy as np
+import pytest
+
+from rdm_tpu.config import (load_config, save_config_snapshot,
+                            load_hydra_config_from_run)
+from rdm_tpu.data import (GTOHaloImageDataset, get_dataset,
+                          make_synthetic_gto_pkl, GTO_MEAN, GTO_STD)
+
+
+def test_load_train_config_defaults():
+    cfg = load_config("train")
+    assert cfg.model.name == "ncsnpp"
+    assert cfg.model.nf == 64
+    assert cfg.data.dataset == "GTOHaloImage"
+    assert cfg.training.batch_size == 4096
+    assert cfg.sde.sigma_max == 5
+    assert cfg.sampling.predictor == "euler_maruyama"
+    assert float(cfg.optim.eps) == 1e-8
+
+
+def test_overrides():
+    cfg = load_config("train", overrides=[
+        "model=unet1d", "training.batch_size=128", "optim.lr=1e-3",
+        "+custom.flag=true"])
+    assert cfg.model.name == "unet1d"
+    assert cfg.training.batch_size == 128
+    assert cfg.optim.lr == 1e-3
+    assert cfg.custom.flag is True
+
+
+def test_snapshot_roundtrip(tmp_path):
+    cfg = load_config("train", overrides=["training.n_iters=7"])
+    save_config_snapshot(cfg, str(tmp_path))
+    assert os.path.exists(tmp_path / ".hydra" / "config.yaml")
+    cfg2 = load_hydra_config_from_run(str(tmp_path))
+    assert cfg2.training.n_iters == 7
+    assert cfg2.model.name == cfg.model.name
+
+
+def test_gto_dataset_preprocessing(tmp_path):
+    pkl = make_synthetic_gto_pkl(str(tmp_path / "train.pkl"), n=64, seed=3)
+    ds = GTOHaloImageDataset(pkl)
+    assert len(ds) == 64
+    img, label = ds[5]
+    assert img.shape == (9, 9, 1)
+    assert label.shape == (1,)
+    # label is the raw (unstandardised) first component
+    np.testing.assert_allclose(label[0], ds.raw[5, 0])
+    # first 67 entries destandardise back to the raw vector
+    flat = img.reshape(81) * GTO_STD + GTO_MEAN
+    np.testing.assert_allclose(flat[:67], ds.raw[5], rtol=1e-5, atol=1e-6)
+    # zero padding standardises to -mean/std
+    np.testing.assert_allclose(flat[67:], 0.0, atol=1e-5)
+
+
+def test_get_dataset_iterators(tmp_path):
+    pkl = make_synthetic_gto_pkl(str(tmp_path / "train.pkl"), n=256, seed=4)
+    cfg = load_config("train", overrides=[
+        f"data.pkl_path={pkl}", "training.batch_size=32", "eval.batch_size=16"])
+    train_it, eval_it = get_dataset(cfg)
+    xb, yb = next(train_it)
+    assert xb.shape == (32, 9, 9, 1) and yb.shape == (32, 1)
+    xe, ye = next(eval_it)
+    assert xe.shape == (16, 9, 9, 1)
+    # iterator cycles indefinitely and reshuffles across epochs
+    seen = [next(train_it)[0] for _ in range(16)]
+    assert not np.allclose(seen[0], seen[8])
