@@ -1,0 +1,107 @@
+"""Headline benchmark: 1000-step reflected PC sampling throughput.
+
+Reproduces the reference's benchmark workload
+(``Benchmark/gto_halo_benchmarking.py:212-333``): NCSN++ GTO score model,
+RVESDE(0.01, 5, N=1000), Euler-Maruyama predictor, no corrector,
+classifier-free guidance as a 2B-batch forward with uniform-random labels —
+but compiled as ONE ``lax.scan`` program on TPU with bf16 matmuls.
+
+Baseline (BASELINE.md): A100-PCIE-40GB runs 28.9-34.3 s/batch regardless of
+batch size (~0.35 traj/s at batch 10, ~3 traj/s extrapolated at batch 100)
+because the reference dispatches 1000 sequential CUDA forwards.
+``vs_baseline`` is measured against the 3 traj/s batch-100 extrapolation.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_TRAJ_PER_SEC = 3.0  # A100, batch 100, extrapolated (BASELINE.md)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=0,
+                   help="0 = auto-tune over candidate batch sizes")
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    from rdm_tpu.config import load_config
+    from rdm_tpu.models import NCSNpp
+    from rdm_tpu.models.registry import get_cf_score_fn
+    from rdm_tpu.sampling import get_pc_sampler
+    from rdm_tpu.sde import RVESDE
+    from rdm_tpu.training import get_optimizer, init_train_state
+
+    cfg = load_config("train")
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    import dataclasses
+    model = dataclasses.replace(NCSNpp.from_config(cfg), dtype=dtype)
+    tx = get_optimizer(cfg)
+    state = init_train_state(model, tx, cfg, rng=jax.random.PRNGKey(0))
+    params = state.params
+    sde = RVESDE(cfg.sde.sigma_min, cfg.sde.sigma_max, args.steps)
+
+    n_dev = len(jax.devices())
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    def make_runner(batch):
+        shape = (batch, 9, 9, 1)
+        sampler = get_pc_sampler(sde, shape, predictor="euler_maruyama",
+                                 corrector="none", denoiser="none", eps=1e-5)
+
+        def run(params, key):
+            kl, ks = jax.random.split(key)
+            labels = jax.random.uniform(kl, (batch, 1))
+            weight = jnp.zeros((batch,))
+            score_fn = get_cf_score_fn(sde, model, params, labels, weight)
+            x, nfe = sampler(score_fn, ks)
+            return x
+
+        return jax.jit(run)
+
+    def _sync(x):
+        # block_until_ready alone does not synchronise on the tunnelled
+        # PJRT plugin; force a device->host readback of a scalar.
+        return float(jnp.sum(x[:2]))
+
+    def time_batch(batch):
+        run = make_runner(batch)
+        t0 = time.time()
+        _sync(run(params, jax.random.PRNGKey(0)))
+        compile_and_first = time.time() - t0
+        times = []
+        for i in range(args.repeats):
+            t0 = time.time()
+            _sync(run(params, jax.random.PRNGKey(i + 1)))
+            times.append(time.time() - t0)
+        best = min(times)
+        print(f"batch {batch}: first(incl compile) {compile_and_first:.2f}s, "
+              f"steady {best:.3f}s -> {batch / best:.1f} traj/s", file=sys.stderr)
+        return batch / best
+
+    if args.batch > 0:
+        candidates = [args.batch]
+    else:
+        candidates = [1024, 4096, 8192]
+    best = max(time_batch(b) for b in candidates)
+
+    print(json.dumps({
+        "metric": "pc1000_sampling_throughput",
+        "value": round(best, 2),
+        "unit": "traj/s/chip",
+        "vs_baseline": round(best / BASELINE_TRAJ_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
