@@ -111,3 +111,100 @@ def ncsnpp_params_from_torch(sd: dict) -> dict:
         params[f"us{j}"] = {"conv": _conv(sd, f"upsample.{j}.Conv_0")}
         j += 1
     return params
+
+
+# ---------------------------------------------------------------------------
+# Export: Flax params -> reference torch state_dict (for checkpoint parity).
+
+def _conv_out(tree, prefix, out, depth=1):
+    node = tree["conv"] if depth == 1 else tree["conv"]["conv"]
+    out[prefix + ".weight"] = np.transpose(np.asarray(node["kernel"]), (3, 2, 0, 1))
+    out[prefix + ".bias"] = np.asarray(node["bias"])
+
+
+def _linear_out(tree, prefix, out):
+    out[prefix + ".weight"] = np.transpose(np.asarray(tree["kernel"]))
+    out[prefix + ".bias"] = np.asarray(tree["bias"])
+
+
+def _norm_out(tree, prefix, out):
+    out[prefix + ".weight"] = np.asarray(tree["scale"])
+    out[prefix + ".bias"] = np.asarray(tree["bias"])
+
+
+def _nin_out(tree, prefix, out):
+    out[prefix + ".W"] = np.asarray(tree["W"])
+    out[prefix + ".b"] = np.asarray(tree["b"])
+
+
+def _resblock_out(tree, prefix, out):
+    # key order matches torch module registration order (state_dict order)
+    _norm_out(tree["norm0"], prefix + ".GroupNorm_0", out)
+    _conv_out(tree["conv0"], prefix + ".Conv_0", out)
+    _linear_out(tree["temb_proj"], prefix + ".Dense_0", out)
+    _norm_out(tree["norm1"], prefix + ".GroupNorm_1", out)
+    _conv_out(tree["conv1"], prefix + ".Conv_1", out)
+    if "shortcut" in tree:
+        _nin_out(tree["shortcut"], prefix + ".NIN_0", out)
+
+
+def _attn_out(tree, prefix, out):
+    _norm_out(tree["norm"], prefix + ".GroupNorm_0", out)
+    _nin_out(tree["q"], prefix + ".NIN_0", out)
+    _nin_out(tree["k"], prefix + ".NIN_1", out)
+    _nin_out(tree["v"], prefix + ".NIN_2", out)
+    _nin_out(tree["proj"], prefix + ".NIN_3", out)
+
+
+def ncsnpp_params_to_torch(params: dict) -> dict:
+    """Inverse of :func:`ncsnpp_params_from_torch`: emit a reference-naming
+    ``state_dict`` (numpy values, OIHW convs) in the reference model's
+    registration order, so ``torch.save``-style checkpoints written by
+    :mod:`rdm_tpu.training.checkpoints` load into the reference NCSN++ with
+    ``strict=True``."""
+    out: dict = {}
+    out["time_embed.W"] = np.asarray(params["time_embed"]["W"])
+    _linear_out(params["time_mlp0"], "time_mlp.0", out)
+    _linear_out(params["time_mlp1"], "time_mlp.2", out)
+    if "label_emb" in params:
+        _linear_out(params["label_emb"], "label_emb", out)
+    _conv_out(params["input_conv"], "input_conv", out)
+    k = 0
+    while f"db{k}" in params:
+        _resblock_out(params[f"db{k}"], f"down_blocks.{k}", out)
+        k += 1
+    n_down = k
+    for k in range(n_down):
+        if f"da{k}" in params:
+            _attn_out(params[f"da{k}"], f"down_attn.{k}", out)
+    i = 0
+    while f"ds{i}" in params:
+        _conv_out(params[f"ds{i}"]["conv"], f"downsample.{i}.Conv_0", out)
+        i += 1
+    _resblock_out(params["mid_block1"], "mid_block1", out)
+    if "mid_attn" in params:
+        _attn_out(params["mid_attn"], "mid_attn", out)
+    _resblock_out(params["mid_block2"], "mid_block2", out)
+    k = 0
+    while f"ub{k}" in params:
+        _resblock_out(params[f"ub{k}"], f"up_blocks.{k}", out)
+        k += 1
+    n_up = k
+    for k in range(n_up):
+        if f"ua{k}" in params:
+            _attn_out(params[f"ua{k}"], f"up_attn.{k}", out)
+    j = 0
+    while f"us{j}" in params:
+        _conv_out(params[f"us{j}"]["conv"], f"upsample.{j}.Conv_0", out)
+        j += 1
+    _norm_out(params["out_norm"], "out_norm", out)
+    _conv_out(params["out_conv"], "out_conv", out)
+    return out
+
+
+def ncsnpp_ema_param_order(sd_keys) -> list:
+    """Order of ``model.parameters()`` with ``requires_grad=True`` in the
+    reference model — the order of the EMA ``shadow_params`` list
+    (reference ``ema.py:30-31``).  Equals state_dict order minus the frozen
+    Fourier ``time_embed.W``."""
+    return [k for k in sd_keys if k != "time_embed.W"]
