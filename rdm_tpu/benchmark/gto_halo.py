@@ -1,0 +1,314 @@
+"""GTO Halo domain benchmark (reference
+``Benchmark/gto_halo_benchmarking.py:92-906`` and the multithreaded variant
+``gto_halo_multithreading.py``).
+
+Pipeline: EMA sampling -> (N, 81) -> (N, 67) -> inverse data pipeline
+(de-standardise model outputs, per-variable physical unnormalisation,
+cartesian -> spherical controls with clip tracking) -> component statistics
+-> physical validation through the CR3BP oracle -> JSON + summary.txt +
+plots.
+
+Physical validation fan-out: with the pydylan backend each SNOPT solve runs
+in a thread pool (``max_workers``), mirroring the reference MT benchmark;
+with the JAX fallback oracle the whole batch evaluates as ONE vmapped
+program instead (TPU-native replacement for the thread pool).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from rdm_tpu.physics import oracle as oracle_lib
+from .common import (LoadedModel, generate_raw_samples,
+                     sampling_efficiency_metrics)
+
+# physical unnormalisation constants (gto_halo_benchmarking.py:272-283)
+MIN_SHOOTING_TIME, MAX_SHOOTING_TIME = 0.0, 40.0
+MIN_COAST_TIME, MAX_COAST_TIME = 0.0, 15.0
+MIN_HALO_ENERGY, MAX_HALO_ENERGY = 0.008, 0.095
+MIN_FUEL_MASS, MAX_FUEL_MASS = 408.0, 470.0
+MIN_MANIFOLD_LENGTH, MAX_MANIFOLD_LENGTH = 5.0, 11.0
+THRUST = 1.0
+GTO_MEAN, GTO_STD = 0.4652, 0.1811
+
+
+@dataclasses.dataclass
+class GTOHaloBenchmarkConfig:
+    model_path: str
+    config_path: Optional[str] = None
+    num_samples: int = 100
+    batch_size: int = 50
+    sampling_method: str = "pc"
+    guidance_weight: float = 0.0
+    enable_physical_validation: bool = True
+    output_dir: str = "benchmark_results/gto_halo"
+    save_samples: bool = True
+    save_plots: bool = True
+    device: Optional[str] = None  # signature parity; placement is via jit
+    max_workers: Optional[int] = None
+    test_mode: bool = False
+    oracle_backend: Optional[str] = None  # None=auto, "pydylan", "jax"
+
+
+class GTOHaloBenchmarker:
+    def __init__(self, config: GTOHaloBenchmarkConfig):
+        self.config = config
+        if config.test_mode:
+            config.num_samples = min(config.num_samples, 10)
+            config.batch_size = min(config.batch_size, 5)
+        self.lm = LoadedModel(config.model_path, config.config_path)
+        if config.sampling_method:
+            self.lm.cfg.sampling.method = config.sampling_method
+        self.total_spherical_clips = 0
+        self.total_spherical_elements = 0
+
+    # ------------------------------------------------------------------ #
+    def generate_samples(self):
+        raw, times = generate_raw_samples(
+            self.lm, self.config.num_samples, self.config.batch_size,
+            guidance_weight=self.config.guidance_weight)
+        return self._inverse_pipeline(raw), times
+
+    def _inverse_pipeline(self, samples: np.ndarray) -> np.ndarray:
+        """(N, 67) model-space -> physical 67-vectors
+        (reference ``gto_halo_benchmarking.py:255-330``)."""
+        class_labels_normalized = samples[:, 0]
+        out = samples[:, 1:].astype(np.float64)
+
+        # de-standardise with the training global mean/std
+        out = out * GTO_STD + GTO_MEAN
+
+        # times
+        out[:, 0] = out[:, 0] * (MAX_SHOOTING_TIME - MIN_SHOOTING_TIME) + MIN_SHOOTING_TIME
+        out[:, 1] = out[:, 1] * (MAX_COAST_TIME - MIN_COAST_TIME) + MIN_COAST_TIME
+        out[:, 2] = out[:, 2] * (MAX_COAST_TIME - MIN_COAST_TIME) + MIN_COAST_TIME
+
+        # cartesian controls back to [-1, 1], then -> spherical
+        out[:, 3:-3] = out[:, 3:-3] * 2 * THRUST - THRUST
+        ctrl = out[:, 3:-3]
+        n_trip = ctrl.shape[1] // 3
+        ctrl = ctrl[:, :n_trip * 3].reshape(-1, n_trip, 3)
+        alpha, beta, r = self._convert_to_spherical(
+            ctrl[:, :, 0], ctrl[:, :, 1], ctrl[:, :, 2])
+        ctrl[:, :, 0], ctrl[:, :, 1], ctrl[:, :, 2] = alpha, beta, r
+        out[:, 3:3 + n_trip * 3] = ctrl.reshape(-1, n_trip * 3)
+
+        # fuel mass / manifold length; halo period stays normalised
+        out[:, -3] = out[:, -3] * (MAX_FUEL_MASS - MIN_FUEL_MASS) + MIN_FUEL_MASS
+        out[:, -1] = out[:, -1] * (MAX_MANIFOLD_LENGTH - MIN_MANIFOLD_LENGTH) + MIN_MANIFOLD_LENGTH
+
+        halo_energies = class_labels_normalized * (MAX_HALO_ENERGY - MIN_HALO_ENERGY) + MIN_HALO_ENERGY
+        return np.column_stack((halo_energies, out))
+
+    def _convert_to_spherical(self, ux, uy, uz):
+        """Reference ``gto_halo_benchmarking.py:335-363`` incl. clip stats."""
+        u = np.sqrt(ux**2 + uy**2 + uz**2)
+        theta = np.zeros_like(u)
+        nz = u != 0
+        theta[nz] = np.arcsin(np.clip(uz[nz] / u[nz], -1, 1))
+        alpha = np.arctan2(uy, ux)
+        alpha = np.where(alpha >= 0, alpha, 2 * np.pi + alpha)
+        theta = np.where(theta >= 0, theta, 2 * np.pi + theta)
+
+        clips = int(np.sum(u > 1))
+        self.total_spherical_clips += clips
+        self.total_spherical_elements += u.size
+        if clips:
+            print(f"SPHERICAL CONVERSION CLIPPING: {clips}/{u.size} values "
+                  f"({100 * clips / u.size:.2f}%) exceeded magnitude 1")
+        u = np.minimum(u, 1.0)
+        return alpha, theta, u
+
+    # ------------------------------------------------------------------ #
+    def compute_gto_halo_metrics(self, samples: np.ndarray) -> Dict[str, Any]:
+        """Component statistics (reference ``:365-423``)."""
+        if samples.size == 0:
+            return {}
+        groups = {
+            "class_label": samples[:, 0],
+            "time_vars": samples[:, 1:4],
+            "thrust_vars": samples[:, 4:64],
+            "mass_vars": samples[:, 64:67],
+        }
+        metrics: Dict[str, Any] = {}
+        for name, arr in groups.items():
+            metrics[f"{name}_mean"] = float(np.mean(arr))
+            metrics[f"{name}_std"] = float(np.std(arr))
+            metrics[f"{name}_min"] = float(np.min(arr))
+            metrics[f"{name}_max"] = float(np.max(arr))
+        metrics["has_nan"] = bool(np.any(np.isnan(samples)))
+        metrics["has_inf"] = bool(np.any(np.isinf(samples)))
+        return metrics
+
+    # ------------------------------------------------------------------ #
+    def compute_physical_validation_metrics(self, samples: np.ndarray) -> Dict[str, Any]:
+        cfgb = self.config
+        backend = cfgb.oracle_backend or ("pydylan" if oracle_lib.PYDYLAN_AVAILABLE else "jax")
+        if not cfgb.enable_physical_validation:
+            return {
+                "physical_validation_disabled": True,
+                "reason": "disabled by configuration",
+                "missing_metrics": [
+                    "feasible_solution_ratio", "local_optimal_solution_ratio",
+                    "average_final_mass_feasible", "average_final_mass_optimal",
+                    "snopt_inform_distribution", "solving_time_analysis"],
+            }
+
+        print(f"Computing physical validation via the {backend} oracle...")
+        sim_kwargs = dict(
+            seed=0, seed_step=len(samples), quiet_snopt=True,
+            number_of_segments=20, maximum_shooting_time=40.0,
+            minimum_shooting_time=0.0, start_bdry=6.48423370092, end_bdry=8.0,
+            thrust=1.0, solver_mode=0, min_mass_to_sample=408,
+            max_mass_to_sample=470, snopt_time_limit=1000.0,
+            result_folder=os.path.join(cfgb.output_dir, "cr3bp_results"),
+            backend=backend)
+
+        t0 = time.time()
+        if backend == "jax":
+            # ONE vmapped evaluation of the whole batch.
+            res = oracle_lib.evaluate_warmstarts(
+                samples[:, 1:].astype(np.float32), samples[:, 0].astype(np.float32))
+            per_sample_time = (time.time() - t0) / max(len(samples), 1)
+            results = [{
+                "results.control": samples[i, 1:],
+                "feasibility": bool(res["feasible"][i]),
+                "snopt_inform": int(res["inform"][i]),
+                "thrust": 1.0,
+                "solving_time": per_sample_time,
+                "cost_alpha": float(samples[i, 0]),
+            } for i in range(len(samples))]
+            extra = {"oracle_backend": "jax",
+                     "oracle_note": ("dynamical-consistency feasibility check "
+                                     "(pydylan/SNOPT unavailable); ratios are "
+                                     "not 1:1 comparable with SNOPT results"),
+                     "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
+                     "mean_terminal_energy_error": float(np.mean(res["energy_err"]))}
+        else:
+            sim = oracle_lib.CR3BPEarthMissionWarmstartSimulatorBoundary(**sim_kwargs)
+            workers = cfgb.max_workers or os.cpu_count()
+
+            def solve(i):
+                s = oracle_lib.CR3BPEarthMissionWarmstartSimulatorBoundary(**sim_kwargs)
+                try:
+                    return s.simulate(earth_initial_guess=samples[i, 1:],
+                                      halo_energy=float(samples[i, 0]))
+                except Exception as e:  # reference wraps failures
+                    return {"results.control": None, "feasibility": False,
+                            "snopt_inform": None, "thrust": 1.0,
+                            "solving_time": 0.0, "cost_alpha": float(samples[i, 0]),
+                            "error": str(e)}
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                results = list(ex.map(solve, range(len(samples))))
+            extra = {"oracle_backend": "pydylan"}
+
+        metrics = self.compute_cr3bp_statistics(results)
+        metrics.update(extra)
+        return metrics
+
+    def compute_cr3bp_statistics(self, results: List[Dict]) -> Dict[str, Any]:
+        """Reference ``:533-584`` metric definitions."""
+        if not results:
+            return {}
+        total = len(results)
+        feasible = [r for r in results if r["feasibility"]]
+        optimal = [r for r in results if r["feasibility"] and r.get("snopt_inform") == 1]
+
+        def final_mass(rs):
+            vals = [r["results.control"][-3] for r in rs
+                    if r.get("results.control") is not None]
+            return float(np.mean(vals)) if vals else 0.0
+
+        informs = [r["snopt_inform"] for r in results if r.get("snopt_inform") is not None]
+        dist: Dict[int, int] = {}
+        for i in informs:
+            dist[i] = dist.get(i, 0) + 1
+        return {
+            "feasible_ratio": len(feasible) / total,
+            "avg_final_mass_feasible": final_mass(feasible),
+            "local_optimal_ratio": len(optimal) / total,
+            "avg_final_mass_optimal": final_mass(optimal),
+            "avg_solving_time": float(np.mean([r["solving_time"] for r in results])),
+            "snopt_inform_distribution": dist,
+            "total_tested": total,
+            "feasible_count": len(feasible),
+            "local_optimal_count": len(optimal),
+        }
+
+    # ------------------------------------------------------------------ #
+    def run_benchmark(self) -> Dict[str, Any]:
+        print("Starting GTO Halo comprehensive benchmark...")
+        samples, sampling_times = self.generate_samples()
+
+        results: Dict[str, Any] = {}
+        results["gto_halo_metrics"] = self.compute_gto_halo_metrics(samples)
+        results["physical_validation"] = self.compute_physical_validation_metrics(samples)
+        results["sampling_efficiency"] = sampling_efficiency_metrics(sampling_times)
+
+        self.save_results(results, samples)
+        if self.config.save_plots:
+            self.generate_plots(results, samples)
+        self.print_spherical_conversion_stats()
+        return results
+
+    # ------------------------------------------------------------------ #
+    def save_results(self, results: Dict[str, Any], samples: np.ndarray):
+        out = self.config.output_dir
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "gto_halo_results.json"), "w") as f:
+            json.dump(results, f, indent=2, default=str)
+        if self.config.save_samples:
+            np.save(os.path.join(out, "generated_samples.npy"), samples)
+            with open(os.path.join(out, "generated_samples.pkl"), "wb") as f:
+                pickle.dump(samples, f)
+        lines = ["=" * 60, "GTO HALO BENCHMARK RESULTS", "=" * 60, ""]
+        for section, vals in results.items():
+            lines.append(f"{section.upper()}:")
+            if isinstance(vals, dict):
+                for k, v in vals.items():
+                    lines.append(f"  {k}: {v}")
+            lines.append("")
+        with open(os.path.join(out, "summary.txt"), "w") as f:
+            f.write("\n".join(lines))
+        print("\n".join(lines))
+
+    def print_spherical_conversion_stats(self):
+        out = self.config.output_dir
+        os.makedirs(out, exist_ok=True)
+        total, clips = self.total_spherical_elements, self.total_spherical_clips
+        rate = 100 * clips / total if total else 0.0
+        text = (f"SPHERICAL CONVERSION CLIPPING STATS\n"
+                f"total elements: {total}\nclipped: {clips}\nrate: {rate:.4f} %\n")
+        with open(os.path.join(out, "spherical_clipping_stats.txt"), "w") as f:
+            f.write(text)
+        print(text)
+
+    def generate_plots(self, results: Dict[str, Any], samples: np.ndarray):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        out = os.path.join(self.config.output_dir, "plots")
+        os.makedirs(out, exist_ok=True)
+        fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+        axes[0, 0].hist(samples[:, 0], bins=30)
+        axes[0, 0].set_title("halo energy")
+        axes[0, 1].hist(samples[:, 1], bins=30)
+        axes[0, 1].set_title("shooting time")
+        axes[1, 0].hist(samples[:, 4:64].ravel(), bins=50)
+        axes[1, 0].set_title("controls (spherical)")
+        axes[1, 1].hist(samples[:, 64], bins=30)
+        axes[1, 1].set_title("fuel mass")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out, "component_distributions.png"), dpi=100)
+        plt.close(fig)

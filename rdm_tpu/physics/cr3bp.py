@@ -1,0 +1,182 @@
+"""Earth-Moon CR3BP dynamics in JAX.
+
+The reference delegates all astrodynamics to the external prebuilt
+``pydylan`` C++ package (CR3BP equations of motion, Halo solver, low-thrust
+spiral, SNOPT interface — SURVEY.md section 2.6).  This module provides the
+on-device pieces the evaluation pipeline needs when pydylan is absent:
+
+* rotating-frame CR3BP equations of motion with low-thrust acceleration
+  and mass flow (Tsiolkovsky), nondimensionalised in Earth-Moon units;
+* classical-orbital-elements -> state conversion (``coe2rv``) and the GTO
+  departure state used by the reference
+  (``support_scripts/support.py:61-81``: a=24510 km, e=0.7234..., i=15 deg,
+  apoapsis);
+* a tangential-thrust spiral phase standing in for
+  ``pydylan.phases.lowthrust_spiral`` (evaluated for ``start_bdry`` time
+  units, ``cr3bp_...warmstart.py:109-112``);
+* L1 location + CR3BP energy, defining the halo-region arrival test.
+
+Everything is pure jnp (jit/vmap-able): a batch of candidate trajectories
+propagates as ONE vectorised program.  Integration is fixed-step RK4 with
+enough substeps for feasibility-level accuracy (the oracle checks defects
+at ~1e-2 tolerance; see tests for Jacobi-drift bounds).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --- Earth-Moon CR3BP constants (km, kg, s) -------------------------------
+MU_EARTH = 398600.435507   # km^3/s^2
+MU_MOON = 4902.800118
+CR3BP_MU = MU_MOON / (MU_EARTH + MU_MOON)   # ~0.0121505
+DU_KM = 384400.0                             # Earth-Moon distance
+TU_S = math.sqrt(DU_KM**3 / (MU_EARTH + MU_MOON))  # ~375201 s
+VU_KMS = DU_KM / TU_S
+G0 = 9.80665e-3  # km/s^2
+
+
+def coe2rv(a, e, inc, raan, argp, nu, mu=MU_EARTH):
+    """Classical orbital elements -> inertial (r, v) in km, km/s."""
+    p = a * (1 - e**2)
+    r_mag = p / (1 + e * np.cos(nu))
+    # perifocal frame
+    r_pf = np.array([r_mag * np.cos(nu), r_mag * np.sin(nu), 0.0])
+    v_pf = np.array([-np.sqrt(mu / p) * np.sin(nu),
+                     np.sqrt(mu / p) * (e + np.cos(nu)), 0.0])
+    cO, sO = np.cos(raan), np.sin(raan)
+    co, so = np.cos(argp), np.sin(argp)
+    ci, si = np.cos(inc), np.sin(inc)
+    R = np.array([
+        [cO * co - sO * so * ci, -cO * so - sO * co * ci, sO * si],
+        [sO * co + cO * so * ci, -sO * so + cO * co * ci, -cO * si],
+        [so * si, co * si, ci],
+    ])
+    return R @ r_pf, R @ v_pf
+
+
+def get_gto_state_cr3bp():
+    """The reference GTO departure state in CR3BP rotating units
+    (``support.py:61-81``)."""
+    r, v = coe2rv(24510.0, 0.72345981, 15.0 * 3.141592 / 180.0, 0.0, 0.0, 3.141592)
+    return np.array([
+        -CR3BP_MU + r[0] / DU_KM, r[1] / DU_KM, r[2] / DU_KM,
+        v[0] / VU_KMS, v[1] / VU_KMS, v[2] / VU_KMS,
+    ])
+
+
+def l1_position(mu=CR3BP_MU, iters: int = 50) -> float:
+    """x-coordinate of L1 via Newton on the collinear quintic."""
+    x = 1.0 - (mu / 3.0) ** (1.0 / 3.0)
+    for _ in range(iters):
+        r1, r2 = x + mu, x - (1 - mu)
+        f = x - (1 - mu) * (x + mu) / abs(r1)**3 - mu * (x - 1 + mu) / abs(r2)**3
+        df = 1 + 2 * (1 - mu) / abs(r1)**3 + 2 * mu / abs(r2)**3
+        x -= f / df
+    return float(x)
+
+
+def _omega(pos, mu):
+    x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
+    r1 = jnp.sqrt((x + mu)**2 + y**2 + z**2)
+    r2 = jnp.sqrt((x - 1 + mu)**2 + y**2 + z**2)
+    return 0.5 * (x**2 + y**2) + (1 - mu) / r1 + mu / r2
+
+
+def jacobi_energy(state, mu=CR3BP_MU):
+    """CR3BP energy E = v^2/2 - Omega (pydylan's orbit_energy convention:
+    E_L1 at the libration point, increasing outward)."""
+    v2 = jnp.sum(state[..., 3:6]**2, axis=-1)
+    return 0.5 * v2 - _omega(state[..., :3], mu)
+
+
+def _accel(state, mu):
+    x, y, z = state[..., 0], state[..., 1], state[..., 2]
+    vx, vy = state[..., 3], state[..., 4]
+    r1 = jnp.sqrt((x + mu)**2 + y**2 + z**2)
+    r2 = jnp.sqrt((x - 1 + mu)**2 + y**2 + z**2)
+    r13, r23 = r1**3, r2**3
+    ax = (x - (1 - mu) * (x + mu) / r13 - mu * (x - 1 + mu) / r23 + 2 * vy)
+    ay = (y - (1 - mu) * y / r13 - mu * y / r23 - 2 * vx)
+    az = (-(1 - mu) * z / r13 - mu * z / r23)
+    return jnp.stack([ax, ay, az], axis=-1)
+
+
+def eom(aug_state, u_dir, throttle, thrust_n, isp_s=1000.0, mu=CR3BP_MU):
+    """d/dt of [x y z vx vy vz m]: CR3BP + low-thrust.
+
+    thrust_n: engine thrust in Newtons; mass in kg; u_dir a unit vector in
+    the rotating frame; throttle in [0, 1].
+    """
+    m = aug_state[..., 6]
+    a_grav = _accel(aug_state[..., :6], mu)
+    # thrust acc: (T[N] / m[kg]) m/s^2 -> nondimensional via DU/TU^2
+    a_mag = throttle * thrust_n / jnp.maximum(m, 1e-6) * (TU_S**2 / (DU_KM * 1000.0))
+    a_thr = a_mag[..., None] * u_dir
+    # mdot[kg/s] = -throttle T / (Isp g0);  g0 in km/s^2 so Isp*g0*1000 = m/s
+    mdot = -throttle * thrust_n / (isp_s * G0 * 1000.0) * TU_S  # kg per TU
+    mdot = jnp.broadcast_to(jnp.asarray(mdot), m.shape)[..., None]
+    return jnp.concatenate([aug_state[..., 3:6], a_grav + a_thr, mdot], axis=-1)
+
+
+def _rk4_step(s, u_dir, throttle, thrust_n, dt, mu):
+    f = lambda x: eom(x, u_dir, throttle, thrust_n, mu=mu)
+    k1 = f(s)
+    k2 = f(s + 0.5 * dt * k1)
+    k3 = f(s + 0.5 * dt * k2)
+    k4 = f(s + dt * k3)
+    return s + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def propagate(aug_state, u_dir, throttle, thrust_n, tof, n_steps: int = 64,
+              mu=CR3BP_MU):
+    """Propagate ``tof`` time units with a constant thrust direction.
+    Batched over leading dims of ``aug_state``; ``tof`` may be per-sample."""
+    tof = jnp.asarray(tof)
+    dt = tof / n_steps
+
+    def body(s, _):
+        return _rk4_step(s, u_dir, throttle, thrust_n,
+                         dt[..., None] if dt.ndim else dt, mu), None
+
+    out, _ = jax.lax.scan(body, aug_state, None, length=n_steps)
+    return out
+
+
+def spiral_to_boundary(start_bdry: float, thrust_n: float = 1.0,
+                       fuel_mass: float = 700.0, dry_mass: float = 300.0):
+    """Stand-in for ``pydylan.phases.lowthrust_spiral`` evaluated for
+    ``start_bdry`` time units (``cr3bp_...warmstart.py:109-112``):
+    continuous tangential thrust from the GTO state raises the orbit; the
+    final augmented state seeds the shooting phase.
+
+    Computed ONCE per configuration on the host with an adaptive f64
+    integrator: the GTO perigee passes (minutes-scale dynamics, 0.017 LU)
+    are far too stiff for the fixed-step f32 segment propagator used for
+    the batched shooting arcs."""
+    from scipy.integrate import solve_ivp
+
+    mu = CR3BP_MU
+    a_coef = TU_S**2 / (DU_KM * 1000.0)
+    mdot = -thrust_n / (1000.0 * G0 * 1000.0) * TU_S  # Isp=1000 s, kg/TU
+
+    def rhs(t, s):
+        x, y, z, vx, vy, vz, m = s
+        r1 = math.sqrt((x + mu)**2 + y**2 + z**2)
+        r2 = math.sqrt((x - 1 + mu)**2 + y**2 + z**2)
+        ax = x - (1 - mu) * (x + mu) / r1**3 - mu * (x - 1 + mu) / r2**3 + 2 * vy
+        ay = y - (1 - mu) * y / r1**3 - mu * y / r2**3 - 2 * vx
+        az = -(1 - mu) * z / r1**3 - mu * z / r2**3
+        vmag = math.sqrt(vx**2 + vy**2 + vz**2) + 1e-12
+        amag = thrust_n / max(m, 1e-6) * a_coef
+        return [vx, vy, vz,
+                ax + amag * vx / vmag, ay + amag * vy / vmag,
+                az + amag * vz / vmag, mdot]
+
+    s0 = np.concatenate([get_gto_state_cr3bp(), [fuel_mass + dry_mass]])
+    sol = solve_ivp(rhs, (0.0, start_bdry), s0, method="DOP853",
+                    rtol=1e-10, atol=1e-12, dense_output=False)
+    return jnp.asarray(sol.y[:, -1], jnp.float32)

@@ -1,0 +1,258 @@
+"""Physical-validation oracle behind the reference simulator interface.
+
+``CR3BPEarthMissionWarmstartSimulatorBoundary(...).simulate(initial_guess,
+halo_energy)`` (reference ``GTO_Halo_DM/data_generation_scripts/
+cr3bp_earth_mission_simulator_boundary_diffusion_warmstart.py:23-224``)
+returns a result dict
+``{results.control, feasibility, snopt_control_evaluations, snopt_inform,
+thrust, solving_time, cost_alpha}``.
+
+Two backends:
+
+* **pydylan** (the reference's C++ astrodynamics + SNOPT) when importable —
+  identical wiring to the reference: L1 halo at E_L1 + halo_energy, GTO
+  spiral to ``start_bdry``, 20-segment spherical-transcription phase,
+  SNOPT warm-started with the sample.
+* **JAX fallback** otherwise: a *dynamical-consistency feasibility check*.
+  The candidate control schedule is integrated through the CR3BP from the
+  spiral boundary state; feasibility requires (a) finite states, (b) the
+  terminal point reaching the L1/halo region (position near L1, CR3BP
+  energy near E_L1 + halo_energy), (c) terminal mass consistent with the
+  sampled fuel mass.  This ranks warm-start quality the same way SNOPT
+  convergence does — bad samples diverge, good samples arrive near the
+  target set — but it is NOT an NLP solve: absolute ratios are not
+  comparable 1:1 with the reference's SNOPT numbers (which need pydylan).
+  ``snopt_inform`` is emulated: 1 when the tight tolerance passes, 3 when
+  only the loose one does, 13 otherwise.
+
+When neither backend can run, the caller sees the reference's exact
+``physical_validation_disabled`` degradation
+(``gto_halo_benchmarking.py:430-445``).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+try:  # the reference's native stack, absent in this image
+    import pydylan  # type: ignore
+    PYDYLAN_AVAILABLE = True
+except Exception:
+    pydylan = None
+    PYDYLAN_AVAILABLE = False
+
+
+class CR3BPEarthMissionWarmstartSimulatorBoundary:
+    """Reference-compatible constructor signature (keyword use only)."""
+
+    def __init__(self, seed=0, seed_step=1, quiet_snopt=True,
+                 number_of_segments=20, maximum_shooting_time=40.0,
+                 minimum_shooting_time=0.0, sample_path=None,
+                 start_bdry=6.48423370092, end_bdry=8.0, thrust=1.0,
+                 solver_mode=0, min_mass_to_sample=408, max_mass_to_sample=470,
+                 snopt_time_limit=1000.0, result_folder=None,
+                 min_manifold_length=5.0, max_manifold_length=11.0,
+                 backend: Optional[str] = None):
+        self.seed = seed
+        self.seed_step = seed_step
+        self.quiet_snopt = quiet_snopt
+        self.number_of_segments = number_of_segments
+        self.maximum_shooting_time = maximum_shooting_time
+        self.minimum_shooting_time = minimum_shooting_time
+        self.sample_path = sample_path
+        self.start_bdry = start_bdry
+        self.end_bdry = end_bdry
+        self.thrust = thrust
+        self.solver_mode = solver_mode
+        self.min_mass_to_sample = min_mass_to_sample
+        self.max_mass_to_sample = max_mass_to_sample
+        self.snopt_time_limit = snopt_time_limit
+        self.result_folder = result_folder
+        self.min_manifold_length = min_manifold_length
+        self.max_manifold_length = max_manifold_length
+        self.halo_energy = None
+        self.backend = backend or ("pydylan" if PYDYLAN_AVAILABLE else "jax")
+        self._spiral_end = None  # lazy
+
+    # ------------------------------------------------------------------ #
+    def simulate(self, earth_initial_guess, halo_energy=None):
+        if halo_energy is not None:
+            self.halo_energy = halo_energy
+        if self.halo_energy is None:
+            raise ValueError("halo_energy is not sampled!")
+        if self.backend == "pydylan":
+            return self._simulate_pydylan(np.asarray(earth_initial_guess, float))
+        return self._simulate_jax(np.asarray(earth_initial_guess, float))
+
+    # ------------------------------------------------------------------ #
+    # pydylan backend — mirrors the reference wiring; requires the package.
+    def _simulate_pydylan(self, guess):
+        import pydylan  # noqa: F811
+        pydylan.set_logging_severity(pydylan.enum.error)
+        earth, moon = pydylan.Body("Earth"), pydylan.Body("Moon")
+        cr3bp = pydylan.eom.CR3BP(primary=earth, secondary=moon)
+        l1 = cr3bp.find_equilibrium_point(pydylan.enum.LibrationPoint.L1)
+        halo = pydylan.periodic_orbit.Halo(
+            cr3bp, pydylan.enum.LibrationPoint.L1, l1[1] + self.halo_energy, 8000.)
+        assert halo.solve_for_orbit() == pydylan.enum.OrbitGenerationResult.Success
+
+        thr = pydylan.ThrustParameters(fuel_mass=700., dry_mass=300., Isp=1000., thrust=1.0)
+        from .cr3bp import get_gto_state_cr3bp
+        spiral = pydylan.phases.lowthrust_spiral(cr3bp, get_gto_state_cr3bp(), thr)
+        spiral.evaluate(time_of_flight=self.start_bdry)
+
+        snopt = pydylan.SNOPT_options_structure()
+        snopt.derivative_mode = pydylan.enum.derivative_mode_type.analytic
+        snopt.quiet_SNOPT = self.quiet_snopt
+        snopt.time_limit = self.snopt_time_limit
+        snopt.total_iteration_limit = 15000
+        snopt.optimality_tolerance = 1e-3
+        snopt.solver_mode = (pydylan.enum.solver_mode_type.feasible
+                             if self.solver_mode == "feasible"
+                             else pydylan.enum.solver_mode_type.optimal)
+
+        thr = pydylan.ThrustParameters(fuel_mass=700., dry_mass=300., Isp=1000.,
+                                       thrust=self.thrust)
+        thr.fuel_mass = spiral.get_states()[-1, 6]
+        phase = pydylan.phase_options_structure()
+        phase.number_of_segments = self.number_of_segments
+        phase.maximum_initial_coast_time = 15.
+        phase.maximum_final_coast_time = 15.
+        phase.maximum_shooting_time = self.maximum_shooting_time
+        phase.minimum_shooting_time = self.minimum_shooting_time
+        phase.control_coordinate_transcription = pydylan.enum.spherical
+
+        start_bc = pydylan.FixedBoundaryCondition(spiral.get_final_states())
+        lo = min(self.min_manifold_length, self.max_manifold_length)
+        hi = max(self.min_manifold_length, self.max_manifold_length)
+        end_bc = pydylan.LibrationOrbitBoundaryCondition(
+            halo, pydylan.enum.PerturbationDirection.StableLeft,
+            np.asarray([halo.orbit_energy, 0 * halo.orbit_period, lo]),
+            np.asarray([halo.orbit_energy, 1 * halo.orbit_period, hi]))
+
+        mission = pydylan.Mission(cr3bp, start_bc, end_bc, pydylan.enum.snopt)
+        mission.add_phase_options(phase)
+        mission.set_thruster_parameters(thr)
+        guess = guess.copy()
+        guess[-2] = guess[-2] * halo.orbit_period  # un-normalise halo period
+        mission.add_control_initial_guess(guess)
+
+        t0 = time.time()
+        mission.optimize(snopt, pydylan.MBH_options_structure())
+        solving_time = time.time() - t0
+        results = mission.evaluate_and_return_solution(
+            mission.get_control_state(), optimize=False) \
+            if hasattr(mission, "evaluate_and_return_solution") else None
+        feas = mission.is_best_solution_feasible()
+        return {
+            "results.control": np.asarray(mission.get_control_state()),
+            "feasibility": bool(feas),
+            "snopt_control_evaluations": getattr(mission, "get_all_SNOPT_control_evaluations", lambda: None)(),
+            "snopt_inform": int(mission.get_SNOPT_inform()) if hasattr(mission, "get_SNOPT_inform") else None,
+            "thrust": self.thrust,
+            "solving_time": solving_time,
+            "cost_alpha": self.halo_energy,
+            "_results": results,
+        }
+
+    # ------------------------------------------------------------------ #
+    # JAX fallback backend.
+    def _simulate_jax(self, guess):
+        t0 = time.time()
+        res = evaluate_warmstarts(np.asarray(guess)[None, :],
+                                  np.asarray([self.halo_energy]),
+                                  thrust=self.thrust,
+                                  n_segments=self.number_of_segments,
+                                  start_bdry=self.start_bdry)
+        solving_time = time.time() - t0
+        return {
+            "results.control": guess,
+            "feasibility": bool(res["feasible"][0]),
+            "snopt_control_evaluations": None,
+            "snopt_inform": int(res["inform"][0]),
+            "thrust": self.thrust,
+            "solving_time": solving_time,
+            "cost_alpha": self.halo_energy,
+            "terminal_pos_error": float(res["pos_err"][0]),
+            "terminal_energy_error": float(res["energy_err"][0]),
+        }
+
+
+# --------------------------------------------------------------------------
+# Batched JAX evaluation (vmap over all samples at once — the TPU-native
+# replacement for the reference's ThreadPoolExecutor SNOPT fan-out when the
+# oracle is the JAX feasibility check).
+
+_POS_TOL_TIGHT = 0.08    # LU distance to L1 for "optimal-grade" arrival
+_POS_TOL_LOOSE = 0.20    # LU distance for "feasible-grade" arrival
+_ENERGY_TOL = 0.05       # CR3BP energy units
+_CACHE = {}
+
+
+def evaluate_warmstarts(guesses: np.ndarray, halo_energies: np.ndarray,
+                        thrust: float = 1.0, n_segments: int = 20,
+                        start_bdry: float = 6.48423370092):
+    """Vectorised feasibility check of [N, 66] initial guesses.
+
+    Guess layout (SURVEY.md 2.6 / prepare_training_data.py): [t_shoot,
+    t_coast1, t_coast2, n_seg x (alpha, beta, r) spherical controls,
+    fuel_mass, halo_period_norm, manifold_len].
+    """
+    import jax
+    import jax.numpy as jnp
+    from . import cr3bp as dyn
+
+    key = (thrust, n_segments, round(start_bdry, 6))
+    if key not in _CACHE:
+        spiral_end = dyn.spiral_to_boundary(start_bdry, thrust_n=1.0)
+        l1x = dyn.l1_position()
+        l1_state = jnp.asarray([l1x, 0, 0, 0, 0, 0], jnp.float32)
+        e_l1 = float(dyn.jacobi_energy(l1_state))
+
+        def single(guess, halo_energy):
+            t_shoot = guess[0]
+            t_c1, t_c2 = guess[1], guess[2]
+            ctrl = guess[3:3 + 3 * n_segments].reshape(n_segments, 3)
+            alpha, beta, r = ctrl[:, 0], ctrl[:, 1], ctrl[:, 2]
+            u_dir = jnp.stack([jnp.cos(beta) * jnp.cos(alpha),
+                               jnp.cos(beta) * jnp.sin(alpha),
+                               jnp.sin(beta)], axis=-1)
+            throttle = jnp.clip(r, 0.0, 1.0)
+
+            s = spiral_end
+            s = dyn.propagate(s, jnp.zeros(3), 0.0, thrust, jnp.maximum(t_c1, 0.0),
+                              n_steps=32)
+            seg_dt = jnp.maximum(t_shoot, 1e-3) / n_segments
+
+            def body(s, inp):
+                u, thr = inp
+                return dyn.propagate(s, u, thr, thrust, seg_dt, n_steps=16), None
+
+            s, _ = jax.lax.scan(body, s, (u_dir, throttle))
+            s = dyn.propagate(s, jnp.zeros(3), 0.0, thrust, jnp.maximum(t_c2, 0.0),
+                              n_steps=32)
+
+            pos_err = jnp.linalg.norm(s[:3] - l1_state[:3])
+            energy = dyn.jacobi_energy(s[:6])
+            energy_err = jnp.abs(energy - (e_l1 + halo_energy))
+            finite = jnp.all(jnp.isfinite(s))
+            mass_ok = (s[6] > 300.0) & (s[6] < 1000.1)
+            return pos_err, energy_err, finite & mass_ok
+
+        _CACHE[key] = jax.jit(jax.vmap(single))
+
+    fn = _CACHE[key]
+    pos_err, energy_err, sane = fn(
+        jnp.asarray(guesses, jnp.float32), jnp.asarray(halo_energies, jnp.float32))
+    pos_err = np.asarray(pos_err)
+    energy_err = np.asarray(energy_err)
+    sane = np.asarray(sane)
+
+    tight = sane & (pos_err < _POS_TOL_TIGHT) & (energy_err < _ENERGY_TOL)
+    loose = sane & (pos_err < _POS_TOL_LOOSE) & (energy_err < 2 * _ENERGY_TOL)
+    inform = np.where(tight, 1, np.where(loose, 3, 13))
+    return {"feasible": loose, "optimal": tight, "inform": inform,
+            "pos_err": pos_err, "energy_err": energy_err}

@@ -1,0 +1,101 @@
+"""CR3BP physics tests: constants vs literature, energy conservation,
+oracle discrimination."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdm_tpu.physics import cr3bp, oracle
+
+
+def test_l1_position_literature():
+    # Earth-Moon L1 at ~0.8369 LU (e.g. Szebehely)
+    assert abs(cr3bp.l1_position() - 0.8369) < 1e-3
+
+
+def test_e_l1_matches_jacobi_constant():
+    # C_L1 ~ 3.1883 for Earth-Moon; E = -C/2
+    l1 = cr3bp.l1_position()
+    e = float(cr3bp.jacobi_energy(jnp.asarray([l1, 0, 0, 0, 0, 0])))
+    assert abs(e - (-3.1883 / 2)) < 5e-3
+
+
+def test_gto_state_geometry():
+    s = cr3bp.get_gto_state_cr3bp()
+    r = np.linalg.norm(s[:3] - np.array([-cr3bp.CR3BP_MU, 0, 0]))
+    # apoapsis radius a(1+e) = 24510 * 1.7235 km
+    np.testing.assert_allclose(r * cr3bp.DU_KM, 24510 * 1.72345981, rtol=1e-4)
+    v = np.linalg.norm(s[3:6]) * cr3bp.VU_KMS
+    # vis-viva at apoapsis
+    expect = np.sqrt(cr3bp.MU_EARTH * (2 / (24510 * 1.72345981) - 1 / 24510))
+    np.testing.assert_allclose(v, expect, rtol=1e-4)
+
+
+def test_coast_conserves_jacobi():
+    # Ballistic arc in the rotating frame preserves E to integrator
+    # accuracy.  Use a mid-radius near-circular orbit around Earth (gentle
+    # dynamics, representative of the shooting-segment regime).
+    mu = cr3bp.CR3BP_MU
+    r = 0.5
+    vy = float(np.sqrt((1 - mu) / r) - r)  # circular inertial speed, rotating frame
+    s = jnp.asarray([-mu + r, 0.0, 0.0, 0.0, vy, 0.0, 700.0])
+    e0 = float(cr3bp.jacobi_energy(s[:6]))
+    s2 = cr3bp.propagate(s, jnp.zeros(3), 0.0, 1.0, 2.0, n_steps=1024)
+    e1 = float(cr3bp.jacobi_energy(s2[:6]))
+    assert abs(e1 - e0) < 1e-3
+    np.testing.assert_allclose(float(s2[6]), 700.0)  # no thrust -> no mass flow
+
+
+def test_thrust_consumes_mass_and_adds_energy():
+    l1 = cr3bp.l1_position()
+    s = jnp.asarray([l1 + 0.1, 0.0, 0.0, 0.0, 0.2, 0.0, 700.0])
+    u = jnp.asarray([0.0, 1.0, 0.0])
+    s2 = cr3bp.propagate(s, u, 1.0, 1.0, 1.0, n_steps=256)
+    assert float(s2[6]) < 700.0
+    # Tsiolkovsky: mdot = T/(Isp g0) = 1/9806.65 kg/s over 1 TU
+    expect_dm = 1.0 / 9806.65 * cr3bp.TU_S
+    np.testing.assert_allclose(700.0 - float(s2[6]), expect_dm, rtol=1e-3)
+
+
+def test_spiral_end_reasonable():
+    se = np.asarray(cr3bp.spiral_to_boundary(6.48423370092))
+    r = np.linalg.norm(se[:3] - np.array([-cr3bp.CR3BP_MU, 0, 0]))
+    assert 0.1 < r < 1.5          # raised orbit, still cis-lunar
+    assert 300.0 < se[6] < 1000.0  # mass within physical bounds
+    e = float(cr3bp.jacobi_energy(jnp.asarray(se[:6])))
+    assert -2.5 < e < -1.0
+
+
+def test_oracle_interface_and_discrimination():
+    """Random-junk warm starts must score (far) worse than a crafted
+    near-target state; the oracle dict carries the reference keys."""
+    rng = np.random.default_rng(0)
+    sim = oracle.CR3BPEarthMissionWarmstartSimulatorBoundary(
+        result_folder=None, backend="jax")
+    guess = np.zeros(66, np.float32)
+    guess[0] = 10.0
+    guess[1:3] = 1.0
+    g = guess[3:63].reshape(20, 3)
+    g[:, 0] = rng.uniform(0, 2 * np.pi, 20)
+    g[:, 1] = rng.uniform(0, 2 * np.pi, 20)
+    g[:, 2] = rng.uniform(0, 1, 20)
+    guess[63] = 430.0
+    guess[64] = 0.5
+    guess[65] = 8.0
+    res = sim.simulate(earth_initial_guess=guess, halo_energy=0.05)
+    for key in ("results.control", "feasibility", "snopt_inform", "thrust",
+                "solving_time", "cost_alpha"):
+        assert key in res
+    assert res["cost_alpha"] == 0.05
+    assert isinstance(res["feasibility"], bool)
+    assert res["snopt_inform"] in (1, 3, 13)
+
+
+def test_oracle_batch_eval_shapes():
+    rng = np.random.default_rng(1)
+    guesses = rng.uniform(0, 1, (6, 66)).astype(np.float32)
+    guesses[:, 0] = rng.uniform(5, 30, 6)
+    res = oracle.evaluate_warmstarts(guesses, rng.uniform(0.008, 0.095, 6))
+    assert res["feasible"].shape == (6,)
+    assert res["inform"].shape == (6,)
+    assert np.isfinite(res["pos_err"]).all()
+    assert set(np.unique(res["inform"])) <= {1, 3, 13}
