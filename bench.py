@@ -33,6 +33,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--attn_pallas", action="store_true", default=True,
+                   help="fused VMEM attention blocks (default on)")
+    p.add_argument("--no_attn_pallas", dest="attn_pallas", action="store_false")
     args = p.parse_args()
 
     from rdm_tpu.config import load_config
@@ -45,7 +48,8 @@ def main():
     cfg = load_config("train")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     import dataclasses
-    model = dataclasses.replace(NCSNpp.from_config(cfg), dtype=dtype)
+    model = dataclasses.replace(NCSNpp.from_config(cfg), dtype=dtype,
+                                attn_pallas=args.attn_pallas)
     tx = get_optimizer(cfg)
     state = init_train_state(model, tx, cfg, rng=jax.random.PRNGKey(0))
     params = state.params

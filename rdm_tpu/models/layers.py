@@ -107,6 +107,30 @@ class NIN(nn.Module):
         return y + b.astype(self.dtype)
 
 
+class _NINParams(nn.Module):
+    """Parameter holder producing the SAME tree as :class:`NIN` (W, b) but
+    returning the raw values — used by the fused Pallas attention path so
+    both paths share one checkpoint format."""
+    num_units: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, in_dim):
+        W = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
+        b = self.param("b", nn.initializers.zeros, (self.num_units,))
+        return W, b
+
+
+class _GNParams(nn.Module):
+    """Parameter holder matching ``nn.GroupNorm``'s tree (scale, bias)."""
+
+    @nn.compact
+    def __call__(self, channels):
+        scale = self.param("scale", nn.initializers.ones, (channels,))
+        bias = self.param("bias", nn.initializers.zeros, (channels,))
+        return scale, bias
+
+
 class GaussianFourierProjection(nn.Module):
     """sin/cos(2 pi W x) time embedding with fixed W ~ N(0, scale^2)
     (reference ``layerspp.py:19-28``).  W is a parameter for checkpoint
@@ -127,17 +151,39 @@ class GaussianFourierProjection(nn.Module):
 class AttnBlockpp(nn.Module):
     """Full-spatial self-attention (reference ``layerspp.py:67-96``).
 
-    At GTO scale this is 81-token attention over <=128 channels: the whole
-    block lives in VMEM and XLA fuses it well; a hand-written Pallas kernel
-    is provided in ``rdm_tpu.ops.pallas.attention`` and used when enabled.
+    At GTO scale this is 81-token attention over <=128 channels.  The
+    attention matrix (B, 81, 81) dominates the whole network's HBM traffic
+    (profiled: ~63% of the NCSN++ step at batch 2048), so two fast paths
+    exist:
+
+    * ``softmax_f32=False``: keep the attention matrix in the compute dtype
+      (bf16) — halves the HBM traffic with negligible effect at 81 tokens
+      (softmax is max-subtracted; values are O(1)).
+    * ``use_pallas=True``: the fused VMEM-resident kernel in
+      ``rdm_tpu.ops.pallas.attention`` (GN + qkv + softmax + proj +
+      residual in one pass, nothing spilled to HBM).
     """
     skip_rescale: bool = False
     init_scale: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    softmax_f32: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        if self.use_pallas:
+            from rdm_tpu.ops.pallas.attention import fused_attn_block
+            gn_scale, gn_bias = _GNParams(name="norm")(C)
+            wq, bq = _NINParams(C, name="q")(C)
+            wk, bk = _NINParams(C, name="k")(C)
+            wv, bv = _NINParams(C, name="v")(C)
+            wp, bp = _NINParams(C, init_scale=self.init_scale, name="proj")(C)
+            return fused_attn_block(
+                x.astype(self.dtype), gn_scale, gn_bias, wq, bq, wk, bk,
+                wv, bv, wp, bp, groups=group_count(C),
+                skip_rescale=self.skip_rescale, softmax_f32=self.softmax_f32)
+
         h = nn.GroupNorm(num_groups=group_count(C), epsilon=1e-6,
                          dtype=self.dtype, name="norm")(x)
         q = NIN(C, name="q", dtype=self.dtype)(h)
@@ -147,10 +193,12 @@ class AttnBlockpp(nn.Module):
         q = q.reshape(B, H * W, C)
         k = k.reshape(B, H * W, C)
         v = v.reshape(B, H * W, C)
+        acc_t = jnp.float32 if self.softmax_f32 else self.dtype
         w = jnp.einsum("bqc,bkc->bqk", q, k,
-                       preferred_element_type=jnp.float32) * (int(C) ** -0.5)
-        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
+                       preferred_element_type=acc_t) * (int(C) ** -0.5)
+        w = jax.nn.softmax(w.astype(acc_t), axis=-1).astype(x.dtype)
+        h = jnp.einsum("bqk,bkc->bqc", w, v)
+        h = h.reshape(B, H, W, C)
         h = NIN(C, init_scale=self.init_scale, name="proj", dtype=self.dtype)(h)
         out = x + h
         return out / math.sqrt(2.0) if self.skip_rescale else out

@@ -55,6 +55,8 @@ class NCSNpp(nn.Module):
     fourier_scale: float = 16.0
     nonlinearity: str = "swish"
     dtype: jnp.dtype = jnp.float32
+    attn_pallas: bool = False      # fused VMEM attention blocks (TPU only)
+    attn_softmax_f32: bool = True  # f32 attention softmax (parity default)
 
     @classmethod
     def from_config(cls, config):
@@ -118,6 +120,8 @@ class NCSNpp(nn.Module):
         def attnblock(name):
             return AttnBlockpp(skip_rescale=self.skip_rescale,
                                init_scale=self.init_scale,
+                               use_pallas=self.attn_pallas,
+                               softmax_f32=self.attn_softmax_f32,
                                name=name, dtype=self.dtype)
 
         # ----- down path (``ncsnpp.py:265-290``) --------------------------
