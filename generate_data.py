@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""CR3BP training-data generation driver (reference
+``GTO_Halo_DM/data_generation_scripts/cr3bp_earth_mission_simulator_
+boundary_fixed_alpha.py``): sample initial guesses, solve/validate each
+through the simulator oracle, and pickle feasible solutions — then
+``rdm_tpu.datagen.prepare_training_data`` turns them into the [N, 67]
+training pickle.
+
+With pydylan installed the oracle is the reference's SNOPT solve; without
+it, the JAX feasibility oracle filters dynamically-consistent guesses
+(useful for smoke-testing the full data path on any machine).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed_step", type=int, default=100,
+                   help="number of seeds to process starting at --seed")
+    p.add_argument("--initial_guess_sample_mode", default="uniform_sample",
+                   choices=["uniform_sample", "from_pickle", "from_diffusion",
+                            "gt_example"])
+    p.add_argument("--guess_path", default=None,
+                   help="pickle path for from_pickle/from_diffusion modes")
+    p.add_argument("--alpha", type=float, default=None,
+                   help="fixed normalised halo energy in [0,1]; default random")
+    p.add_argument("--number_of_segments", type=int, default=20)
+    p.add_argument("--maximum_shooting_time", type=float, default=40.0)
+    p.add_argument("--minimum_shooting_time", type=float, default=0.0)
+    p.add_argument("--start_bdry", type=float, default=6.48423370092)
+    p.add_argument("--end_bdry", type=float, default=8.0)
+    p.add_argument("--thrust", type=float, default=1.0)
+    p.add_argument("--solver_mode", default=0)
+    p.add_argument("--min_mass_to_sample", type=float, default=408)
+    p.add_argument("--max_mass_to_sample", type=float, default=470)
+    p.add_argument("--snopt_time_limit", type=float, default=500.0)
+    p.add_argument("--result_folder", required=True)
+    p.add_argument("--save_infeasible", action="store_true")
+    args = p.parse_args(argv)
+
+    from rdm_tpu.datagen import CR3BPInitGenerator
+    from rdm_tpu.physics.oracle import CR3BPEarthMissionWarmstartSimulatorBoundary
+
+    os.makedirs(args.result_folder, exist_ok=True)
+    gen = CR3BPInitGenerator(
+        initial_guess_sample_mode=args.initial_guess_sample_mode,
+        thrust=args.thrust, min_mass_to_sample=args.min_mass_to_sample,
+        max_mass_to_sample=args.max_mass_to_sample,
+        min_manifold_length=5.0, max_manifold_length=11.0,
+        pickle_path=args.guess_path, diffusion_path=args.guess_path)
+    sim = CR3BPEarthMissionWarmstartSimulatorBoundary(
+        seed=args.seed, seed_step=args.seed_step,
+        number_of_segments=args.number_of_segments,
+        maximum_shooting_time=args.maximum_shooting_time,
+        minimum_shooting_time=args.minimum_shooting_time,
+        start_bdry=args.start_bdry, end_bdry=args.end_bdry,
+        thrust=args.thrust, solver_mode=args.solver_mode,
+        min_mass_to_sample=args.min_mass_to_sample,
+        max_mass_to_sample=args.max_mass_to_sample,
+        snopt_time_limit=args.snopt_time_limit,
+        result_folder=args.result_folder)
+
+    n_feasible = 0
+    for seed in range(args.seed, args.seed + args.seed_step):
+        halo_energy, guesses = gen.get_earth_initial_guess(
+            seed, args.number_of_segments, args.maximum_shooting_time,
+            args.minimum_shooting_time)
+        if args.alpha is not None:
+            # reference fixed-alpha mapping 0.008 + alpha * (0.095 - 0.008)
+            halo_energy = 0.008 + args.alpha * (0.095 - 0.008)
+        for guess in guesses:
+            result = sim.simulate(earth_initial_guess=guess,
+                                  halo_energy=halo_energy)
+            # match the solver's control layout expected downstream
+            if result["feasibility"] or args.save_infeasible:
+                tag = "feasible" if result["feasibility"] else "infeasible"
+                path = os.path.join(
+                    args.result_folder,
+                    f"{tag}_cr3bp_earth_alpha_{halo_energy:.4f}_seed_{seed}.pkl")
+                with open(path, "wb") as f:
+                    pickle.dump([result], f)
+                if result["feasibility"]:
+                    n_feasible += 1
+        print(f"seed {seed}: feasible so far {n_feasible}")
+    print(f"done: {n_feasible} feasible solutions in {args.result_folder}")
+
+
+if __name__ == "__main__":
+    main()
