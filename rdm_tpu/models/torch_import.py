@@ -202,6 +202,83 @@ def ncsnpp_params_to_torch(params: dict) -> dict:
     return out
 
 
+def _nest(tree: dict, path: list, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _convert_value(name: str, v: np.ndarray):
+    if name == "weight" and v.ndim == 4:
+        return "weight", np.transpose(v, (2, 3, 1, 0))  # OIHW -> HWIO
+    if name == "weight" and v.ndim == 2:
+        return "weight", np.transpose(v)
+    return name, v
+
+
+def adm_params_from_torch(sd: dict) -> dict:
+    """Reference ADM state_dict (inner module, ``models/adm.py:69-157``) ->
+    Flax tree for ``rdm_tpu.models.adm.ADM``."""
+    out: dict = {}
+    for key, v in sd.items():
+        v = np.asarray(v)
+        if "resample_filter" in key:
+            continue
+        parts = key.split(".")
+        # enc.16x16_conv -> enc_16x16_conv etc.
+        if parts[0] in ("enc", "dec"):
+            parts = [f"{parts[0]}_{parts[1]}"] + parts[2:]
+        leaf = parts[-1]
+        if len(parts) >= 2 and parts[-2].startswith(("norm", "out_norm")):
+            # EDMGroupNorm nests a flax GroupNorm called "gn"
+            path = parts[:-1] + ["gn", "scale" if leaf == "weight" else "bias"]
+            _nest(out, path, v)
+            continue
+        leaf, v = _convert_value(leaf, v)
+        _nest(out, parts[:-1] + [leaf], v)
+    return out
+
+
+def vdm_params_from_torch(sd: dict) -> dict:
+    """Reference VDM state_dict (``models/vdm.py:100-199``) -> Flax tree for
+    ``rdm_tpu.models.vdm.VDM``."""
+    out: dict = {}
+    for key, v in sd.items():
+        v = np.asarray(v)
+        if "freqs" in key:
+            continue
+        parts = key.split(".")
+        # cond_map.0 / cond_map.2 -> cond_map0 / cond_map1
+        if parts[0] == "cond_map":
+            parts = [f"cond_map{0 if parts[1] == '0' else 1}"] + parts[2:]
+        # out.0 (GroupNorm) / out.2 (Conv2d) -> out_norm / out_conv
+        elif parts[0] == "out":
+            parts = [("out_norm" if parts[1] == "0" else "out_conv")] + parts[2:]
+        # enc.N / dec.N: with attention the reference interleaves
+        # [res, attn, res, attn, ...]; ours names them encK / enc_attnK
+        elif parts[0] in ("enc", "dec"):
+            idx = int(parts[1])
+            has_attn = any(k.startswith(f"{parts[0]}.1.qkv") or
+                           k.startswith(f"{parts[0]}.1.norm.") for k in sd)
+            if has_attn:
+                base = f"{parts[0]}{idx // 2}" if idx % 2 == 0 \
+                    else f"{parts[0]}_attn{idx // 2}"
+            else:
+                base = f"{parts[0]}{idx}"
+            parts = [base] + parts[2:]
+        leaf = parts[-1]
+        # plain nn.GroupNorm layers in our VDM (norm1/norm2/norm/out_norm)
+        if (len(parts) >= 2 and parts[-2] in ("norm1", "norm2", "norm")) or \
+                parts[0] == "out_norm" and len(parts) == 2:
+            path = parts[:-1] + ["scale" if leaf == "weight" else "bias"]
+            _nest(out, path, v)
+            continue
+        leaf, v = _convert_value(leaf, v)
+        _nest(out, parts[:-1] + [leaf], v)
+    return out
+
+
 def ncsnpp_ema_param_order(sd_keys) -> list:
     """Order of ``model.parameters()`` with ``requires_grad=True`` in the
     reference model — the order of the EMA ``shadow_params`` list
