@@ -236,6 +236,106 @@ class ResnetBlockDDPMpp(nn.Module):
         return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
+class Combine(nn.Module):
+    """Skip-combiner (reference ``layerspp.py:50-64``): 1x1-conv one input
+    then concat or sum with the other."""
+    dim2: int
+    method: str = "cat"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y):
+        h = Conv1x1(self.dim2, name="conv", dtype=self.dtype)(x)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        if self.method == "sum":
+            return h + y
+        raise ValueError(f"Method {self.method} not recognized.")
+
+
+class FIRConv2d(nn.Module):
+    """StyleGAN2 conv with fused FIR up/down resampling (reference
+    ``up_or_down_sampling.Conv2d``; the reference's up path crashes —
+    stride/output_padding bug — this is the corrected semantics)."""
+    out_ch: int
+    kernel: int = 3
+    up: bool = False
+    down: bool = False
+    resample_kernel: Sequence[int] = (1, 3, 3, 1)
+    use_bias: bool = True
+    init_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from rdm_tpu.ops import fir
+        in_ch = x.shape[-1]
+        w = self.param("weight", default_init(self.init_scale),
+                       (self.kernel, self.kernel, in_ch, self.out_ch))
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if self.up:
+            x = fir.upsample_conv_2d(x, w, k=self.resample_kernel)
+        elif self.down:
+            x = fir.conv_downsample_2d(x, w, k=self.resample_kernel)
+        else:
+            pad = self.kernel // 2
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+            x = x + b.astype(self.dtype)
+        return x
+
+
+class ResnetBlockBigGANpp(nn.Module):
+    """BigGAN-style resblock with in-block up/down sampling (reference
+    ``layerspp.py:217-279``).  Part of the layer-zoo API surface (the live
+    configs use the DDPM block; ``resblock_type: biggan`` in ddpmpp.yaml is
+    ignored by the reference NCSNpp, which we mirror)."""
+    act: Callable
+    out_ch: int
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, train: bool = False):
+        from rdm_tpu.ops import fir as fir_ops
+        in_ch = x.shape[-1]
+        h = self.act(nn.GroupNorm(num_groups=group_count(in_ch), epsilon=1e-6,
+                                  dtype=self.dtype, name="norm0")(x))
+        if self.up:
+            resample = (lambda t: fir_ops.upsample_2d(t, self.fir_kernel)) \
+                if self.fir else fir_ops.naive_upsample_2d
+            h, x = resample(h), resample(x)
+        elif self.down:
+            resample = (lambda t: fir_ops.downsample_2d(t, self.fir_kernel)) \
+                if self.fir else fir_ops.naive_downsample_2d
+            h, x = resample(h), resample(x)
+        h = Conv3x3(self.out_ch, name="conv0", dtype=self.dtype)(h)
+        if temb is not None:
+            h = h + nn.Dense(self.out_ch, kernel_init=default_init(),
+                             bias_init=nn.initializers.zeros, dtype=self.dtype,
+                             name="temb_proj")(self.act(temb))[:, None, None, :]
+        h = self.act(nn.GroupNorm(num_groups=group_count(self.out_ch),
+                                  epsilon=1e-6, dtype=self.dtype,
+                                  name="norm1")(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = Conv3x3(self.out_ch, init_scale=self.init_scale, name="conv1",
+                    dtype=self.dtype)(h)
+        if in_ch != self.out_ch or self.up or self.down:
+            x = Conv1x1(self.out_ch, name="shortcut", dtype=self.dtype)(x)
+        out = x + h
+        return out / math.sqrt(2.0) if self.skip_rescale else out
+
+
 class Upsample(nn.Module):
     """Nearest 2x upsample + optional conv (reference ``layerspp.py:99-131``,
     non-FIR path only: GTO config has ``fir: false``)."""

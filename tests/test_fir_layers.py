@@ -1,0 +1,158 @@
+"""FIR resampling + layer-zoo tests, with torch goldens generated inline
+against the reference implementation where it is not broken (the reference
+up-path raises at call time — SURVEY dead-code note)."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdm_tpu.ops import fir
+
+REF = "/root/reference/Reflected-Diffusion"
+
+
+@pytest.fixture(scope="module")
+def torch_ref():
+    sys.path.insert(0, REF)
+    import torch
+    from models import up_or_down_sampling as uds
+    yield torch, uds
+    sys.path.remove(REF)
+
+
+def test_upfirdn2d_pad_path_matches_reference(torch_ref):
+    torch, uds = torch_ref
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    f = np.outer([1, 3, 3, 1], [1, 3, 3, 1]).astype(np.float32) / 64
+    # Pad conventions: the reference's simplified upfirdn2d reads (2, 1) as
+    # (left=right=2, top=bottom=1); ours keeps the original StyleGAN2
+    # (before, after)-per-axis convention (they coincide on the symmetric
+    # pads every derived op uses) — map explicitly via the 4-tuple.
+    ref = uds.upfirdn2d(torch.tensor(x), torch.tensor(f), pad=(2, 1)).numpy()
+    ours = fir.upfirdn2d(jnp.asarray(x).transpose(0, 2, 3, 1), jnp.asarray(f),
+                         pad=(2, 2, 1, 1))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_conv_downsample_matches_reference(torch_ref):
+    torch, uds = torch_ref
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    w = rng.normal(size=(4, 3, 3, 3)).astype(np.float32)  # OIHW
+    ref = uds.conv_downsample_2d(torch.tensor(x), torch.tensor(w),
+                                 k=(1, 3, 3, 1)).numpy()
+    ours = fir.conv_downsample_2d(jnp.asarray(x).transpose(0, 2, 3, 1),
+                                  jnp.asarray(w.transpose(2, 3, 1, 0)),
+                                  k=(1, 3, 3, 1))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_reference_up_paths_are_broken(torch_ref):
+    """Documented divergence: the reference's FIR up path raises; ours is
+    the corrected StyleGAN2 semantics."""
+    torch, uds = torch_ref
+    x = torch.randn(2, 3, 8, 8)
+    w = torch.randn(4, 3, 3, 3)
+    with pytest.raises(Exception):
+        uds.upsample_conv_2d(x, w, k=(1, 3, 3, 1))
+    with pytest.raises(TypeError):
+        uds.upsample_2d(x, k=(1, 3, 3, 1))
+
+
+def test_upsample_2d_semantics():
+    # box filter k=[1,1] with gain factor^2 -> exact nearest-neighbour 2x
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 4, 4, 2)),
+                    jnp.float32)
+    up = fir.upsample_2d(x, k=[1, 1], factor=2)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(
+        fir.naive_upsample_2d(x)), rtol=1e-5, atol=1e-6)
+    # downsample with box filter == average pool
+    down = fir.downsample_2d(x, k=[1, 1], factor=2)
+    np.testing.assert_allclose(np.asarray(down), np.asarray(
+        fir.naive_downsample_2d(x)), rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_conv_shapes_and_linearity():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 5, 5, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4)), jnp.float32)
+    out = fir.upsample_conv_2d(x, w, k=(1, 3, 3, 1))
+    assert out.shape == (2, 10, 10, 4)
+    out2 = fir.upsample_conv_2d(2 * x, w, k=(1, 3, 3, 1))
+    np.testing.assert_allclose(np.asarray(out2), 2 * np.asarray(out), rtol=1e-5)
+
+
+def test_biggan_block_paths():
+    from rdm_tpu.models.layers import ResnetBlockBigGANpp
+    act = jax.nn.silu
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    temb = jax.random.uniform(jax.random.PRNGKey(1), (2, 32))
+    for kw, shape in [(dict(), (2, 8, 8, 24)),
+                      (dict(up=True), (2, 16, 16, 24)),
+                      (dict(down=True), (2, 4, 4, 24)),
+                      (dict(up=True, fir=True), (2, 16, 16, 24)),
+                      (dict(down=True, fir=True), (2, 4, 4, 24))]:
+        blk = ResnetBlockBigGANpp(act=act, out_ch=24, dropout=0.0, **kw)
+        params = blk.init({"params": jax.random.PRNGKey(2)}, x, temb)["params"]
+        out = blk.apply({"params": params}, x, temb)
+        assert out.shape == shape, (kw, out.shape)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fir_conv2d_module():
+    from rdm_tpu.models.layers import FIRConv2d
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    for kw, shape in [(dict(), (2, 8, 8, 6)), (dict(up=True), (2, 16, 16, 6)),
+                      (dict(down=True), (2, 4, 4, 6))]:
+        m = FIRConv2d(out_ch=6, **kw)
+        p = m.init(jax.random.PRNGKey(1), x)["params"]
+        assert m.apply({"params": p}, x).shape == shape
+
+
+def test_combine():
+    from rdm_tpu.models.layers import Combine
+    x = jnp.ones((2, 4, 4, 3))
+    y = jnp.ones((2, 4, 4, 5))
+    m = Combine(dim2=5)
+    p = m.init(jax.random.PRNGKey(0), x, y)["params"]
+    assert m.apply({"params": p}, x, y).shape == (2, 4, 4, 10)
+    m2 = Combine(dim2=5, method="sum")
+    p2 = m2.init(jax.random.PRNGKey(0), x, y)["params"]
+    assert m2.apply({"params": p2}, x, y).shape == (2, 4, 4, 5)
+
+
+def test_normalization_zoo():
+    from rdm_tpu.models import normalization as nz
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 16))
+    for cls in (nz.InstanceNorm2d, nz.VarianceNorm2d, nz.InstanceNorm2dPlus):
+        m = cls()
+        p = m.init(jax.random.PRNGKey(1), x)["params"]
+        out = m.apply({"params": p}, x)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+    m = nz.ConditionalInstanceNorm2dPlus(num_classes=7)
+    y = jnp.asarray([0, 3, 6, 2])
+    p = m.init(jax.random.PRNGKey(1), x, y)["params"]
+    out = m.apply({"params": p}, x, y)
+    assert out.shape == x.shape
+    # different classes produce different outputs
+    out2 = m.apply({"params": p}, x, jnp.asarray([1, 1, 1, 1]))
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+
+
+def test_get_normalization_registry():
+    from rdm_tpu.config import ConfigDict
+    from rdm_tpu.models.normalization import get_normalization
+    cfg = ConfigDict.wrap({"model": {"normalization": "GroupNorm"}})
+    assert get_normalization(cfg) is not None
+    cfg2 = ConfigDict.wrap({"model": {"normalization": "InstanceNorm++",
+                                      "num_classes": 10}})
+    assert get_normalization(cfg2) is not None
+    assert get_normalization(cfg2, conditional=True) is not None
+    with pytest.raises(ValueError):
+        get_normalization(ConfigDict.wrap({"model": {"normalization": "Nope"}}))
