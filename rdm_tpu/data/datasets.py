@@ -16,6 +16,7 @@ Preprocessing parity (reference ``datasets.py:82-98``):
 """
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Iterator, Tuple
 
@@ -78,6 +79,51 @@ class GTOHaloTrajectoryDataset:
         return self.data[idx], 0
 
 
+def load_cifar10(dataroot: str, train: bool = True):
+    """CIFAR-10 from the standard ``cifar-10-batches-py`` pickles
+    (torchvision-free; reference uses ``vdsets.CIFAR10``,
+    ``datasets.py:116-117``).  Returns (images [N,32,32,3] float [0,1],
+    labels [N,1])."""
+    base = os.path.join(dataroot, "cifar-10-batches-py")
+    files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    xs, ys = [], []
+    for name in files:
+        with open(os.path.join(base, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs.append(np.asarray(d[b"data"], np.uint8))
+        ys.append(np.asarray(d[b"labels"], np.int64))
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    y = np.concatenate(ys)[:, None].astype(np.float32)
+    return (x.astype(np.float32) / 255.0), y
+
+
+def load_image_folder(root: str):
+    """All images in a directory -> [N, H, W, 3] float array (reference
+    ``ImageFolderFast``, ``datasets.py:29-45``)."""
+    from PIL import Image
+    paths = sorted(os.listdir(root))
+    imgs = []
+    for p in paths:
+        with Image.open(os.path.join(root, p)) as im:
+            imgs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+    return np.stack(imgs)
+
+
+def load_image_folder_class(root: str):
+    """Image folder with ``dataset.json`` labels (reference
+    ``ImageFolderClassFast``, ``datasets.py:48-66``)."""
+    import json
+    from PIL import Image
+    with open(os.path.join(root, "dataset.json")) as f:
+        pairs = json.load(f)["labels"]
+    imgs, labels = [], []
+    for rel, label in pairs:
+        with Image.open(os.path.join(root, rel)) as im:
+            imgs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+        labels.append(label)
+    return np.stack(imgs), np.asarray(labels, np.float32)[:, None]
+
+
 def _epoch_iterator(images, labels, batch: int, seed: int, shard: Tuple[int, int],
                     shuffle: bool = True) -> Iterator:
     """Infinite epoch-reshuffled batch iterator over this host's shard
@@ -112,11 +158,19 @@ def get_dataset(config, evaluation: bool = False, distributed: bool = True):
         ds = GTOHaloTrajectoryDataset(config.data.pkl_path)
         images = ds.data[:, None, :]  # [N, 1, 67] channel-first 1-D seqs
         labels = np.zeros((len(ds), 1), np.float32)
+    elif name == "CIFAR10":
+        images, labels = load_cifar10(config.dataroot, train=not evaluation)
+    elif name == "ImageNet32":
+        split = "valid_32x32" if evaluation else "train_32x32"
+        images = load_image_folder(
+            os.path.join(config.dataroot, "ds_imagenet", split))
+        labels = np.zeros((len(images), 1), np.float32)
+    elif name == "ImageNet64C":
+        split = "valid" if evaluation else "train"
+        images, labels = load_image_folder_class(
+            os.path.join(config.dataroot, "imagenet-64x64", split))
     else:
-        raise ValueError(
-            f"{name} is not available in the TPU rebuild yet "
-            "(image datasets CIFAR10/ImageNet32/ImageNet64C need an image "
-            "decoder; see rdm_tpu/data/datasets.py)")
+        raise ValueError(f"{name} is not valid")
 
     n_proc = jax.process_count() if distributed else 1
     proc = jax.process_index() if distributed else 0

@@ -68,3 +68,40 @@ def test_get_dataset_iterators(tmp_path):
     # iterator cycles indefinitely and reshuffles across epochs
     seen = [next(train_it)[0] for _ in range(16)]
     assert not np.allclose(seen[0], seen[8])
+
+
+def test_cifar10_loader(tmp_path):
+    """CIFAR-10 binary-batch loader (torchvision-free)."""
+    import pickle as pkl
+    from rdm_tpu.data.datasets import load_cifar10
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(1, 6):
+        batch = {b"data": rng.integers(0, 255, (20, 3072), dtype=np.uint8),
+                 b"labels": rng.integers(0, 10, 20).tolist()}
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pkl.dump(batch, f)
+    x, y = load_cifar10(str(tmp_path))
+    assert x.shape == (100, 32, 32, 3) and y.shape == (100, 1)
+    assert 0 <= x.min() and x.max() <= 1
+
+
+def test_image_folder_loaders(tmp_path):
+    import json
+    from PIL import Image
+    from rdm_tpu.data.datasets import load_image_folder, load_image_folder_class
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)).save(
+            root / f"im{i}.png")
+    x = load_image_folder(str(root))
+    assert x.shape == (4, 8, 8, 3)
+
+    (root / "dataset.json").write_text(json.dumps(
+        {"labels": [[f"im{i}.png", i % 3] for i in range(4)]}))
+    x2, y2 = load_image_folder_class(str(root))
+    assert x2.shape == (4, 8, 8, 3) and y2.shape == (4, 1)
+    assert y2.ravel().tolist() == [0.0, 1.0, 2.0, 0.0]
