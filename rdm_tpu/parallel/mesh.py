@@ -52,13 +52,14 @@ def jit_train_step(step_fn, mesh: Mesh, donate: bool | None = None):
     sharded on the data axis.  XLA inserts the gradient all-reduce over ICI.
 
     ``donate``: donate the TrainState buffers (halves peak parameter memory
-    on TPU).  Defaults to on for TPU; forced off on the CPU backend, where
-    buffer donation + in-process collectives deadlocks the thunk runtime's
-    rendezvous (reproduced on jax 0.9 / 8 virtual devices; grads-only and
-    non-donated programs run fine).
+    on TPU).  Defaults to on ONLY for a directly-attached TPU backend:
+    on the CPU backend donation + in-process collectives deadlocks the
+    thunk runtime's rendezvous, and on the tunnelled PJRT plugin ("axon")
+    donated executions fail with InvalidArgument (both reproduced on
+    jax 0.9; non-donated programs run fine).
     """
     if donate is None:
-        donate = jax.default_backend() != "cpu"
+        donate = jax.default_backend() == "tpu"
     repl = replicated(mesh)
     data = batch_sharding(mesh)
     return jax.jit(
