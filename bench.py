@@ -93,10 +93,9 @@ def main():
               f"steady {best:.3f}s -> {batch / best:.1f} traj/s", file=sys.stderr)
         return batch / best
 
-    if args.batch > 0:
-        candidates = [args.batch]
-    else:
-        candidates = [1024, 4096, 8192]
+    # batch 1024 is the tuned sweet spot on v5e (2048 saturates HBM with the
+    # CFG-doubled batch and compiles ~3x slower; see BENCH notes)
+    candidates = [args.batch] if args.batch > 0 else [1024]
     best = max(time_batch(b) for b in candidates)
 
     print(json.dumps({

@@ -156,3 +156,29 @@ def test_get_normalization_registry():
     assert get_normalization(cfg2, conditional=True) is not None
     with pytest.raises(ValueError):
         get_normalization(ConfigDict.wrap({"model": {"normalization": "Nope"}}))
+
+
+def test_legacy_refinenet_blocks():
+    from rdm_tpu.models import legacy_blocks as lb
+    x1 = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    x2 = jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 4, 16))
+    blk = lb.RefineBlock(features=16)
+    p = blk.init(jax.random.PRNGKey(2), [x1, x2], (8, 8))["params"]
+    out = blk.apply({"params": p}, [x1, x2], (8, 8))
+    assert out.shape == (2, 8, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+    crp = lb.CRPBlock(features=16, n_stages=2)
+    pc = crp.init(jax.random.PRNGKey(3), x1)["params"]
+    assert crp.apply({"params": pc}, x1).shape == x1.shape
+
+    emb = lb.get_timestep_embedding(jnp.asarray([0.0, 5.0, 99.0]), 32)
+    assert emb.shape == (3, 32)
+    # matches the classic formulation at t=0: sin part 0, cos part 1
+    np.testing.assert_allclose(np.asarray(emb[0, :16]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 16:]), 1.0, atol=1e-6)
+
+    ddpm = lb.DDPMResnetBlock(act=jax.nn.silu, out_ch=32, temb_dim=8, dropout=0.0)
+    temb = jax.random.uniform(jax.random.PRNGKey(4), (2, 8))
+    pd = ddpm.init(jax.random.PRNGKey(5), x1, temb)["params"]
+    assert ddpm.apply({"params": pd}, x1, temb).shape == (2, 8, 8, 32)
