@@ -192,22 +192,48 @@ class GTOHaloBenchmarker:
                      "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
                      "mean_terminal_energy_error": float(np.mean(res["energy_err"]))}
         else:
-            sim = oracle_lib.CR3BPEarthMissionWarmstartSimulatorBoundary(**sim_kwargs)
+            # ThreadPoolExecutor SNOPT fan-out with the reference MT
+            # benchmark's telemetry heartbeat (gto_halo_multithreading.py:
+            # 604-667): per-completion progress + a 10 s status ticker.
+            import threading
+
             workers = cfgb.max_workers or os.cpu_count()
+            done_count = {"n": 0}
+            lock = threading.Lock()
+            stop = threading.Event()
+
+            def heartbeat():
+                while not stop.wait(10.0):
+                    with lock:
+                        n = done_count["n"]
+                    print(f"\U0001F4CA TELEMETRY: {n}/{len(samples)} solves "
+                          f"complete ({time.time() - t0:.0f}s elapsed, "
+                          f"{workers} workers)")
 
             def solve(i):
                 s = oracle_lib.CR3BPEarthMissionWarmstartSimulatorBoundary(**sim_kwargs)
                 try:
-                    return s.simulate(earth_initial_guess=samples[i, 1:],
-                                      halo_energy=float(samples[i, 0]))
+                    r = s.simulate(earth_initial_guess=samples[i, 1:],
+                                   halo_energy=float(samples[i, 0]))
                 except Exception as e:  # reference wraps failures
-                    return {"results.control": None, "feasibility": False,
-                            "snopt_inform": None, "thrust": 1.0,
-                            "solving_time": 0.0, "cost_alpha": float(samples[i, 0]),
-                            "error": str(e)}
+                    r = {"results.control": None, "feasibility": False,
+                         "snopt_inform": None, "thrust": 1.0,
+                         "solving_time": 0.0, "cost_alpha": float(samples[i, 0]),
+                         "error": str(e)}
+                with lock:
+                    done_count["n"] += 1
+                    n = done_count["n"]
+                print(f"\U0001F4CA TELEMETRY: sample {i + 1} done "
+                      f"({n}/{len(samples)}, feasible={r['feasibility']})")
+                return r
 
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                results = list(ex.map(solve, range(len(samples))))
+            ticker = threading.Thread(target=heartbeat, daemon=True)
+            ticker.start()
+            try:
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    results = list(ex.map(solve, range(len(samples))))
+            finally:
+                stop.set()
             extra = {"oracle_backend": "pydylan"}
 
         metrics = self.compute_cr3bp_statistics(results)
