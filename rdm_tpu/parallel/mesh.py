@@ -52,14 +52,16 @@ def jit_train_step(step_fn, mesh: Mesh, donate: bool | None = None):
     sharded on the data axis.  XLA inserts the gradient all-reduce over ICI.
 
     ``donate``: donate the TrainState buffers (halves peak parameter memory
-    on TPU).  Defaults to on ONLY for a directly-attached TPU backend:
-    on the CPU backend donation + in-process collectives deadlocks the
-    thunk runtime's rendezvous, and on the tunnelled PJRT plugin ("axon")
-    donated executions fail with InvalidArgument (both reproduced on
-    jax 0.9; non-donated programs run fine).
+    on TPU).  Default OFF: on the CPU backend donation + in-process
+    collectives deadlocks the thunk runtime's rendezvous, and on the
+    tunnelled PJRT plugin (which reports itself as "tpu") donated
+    executions fail with InvalidArgument (both reproduced on jax 0.9;
+    non-donated programs run fine).  Opt in explicitly on deployments with
+    directly-attached chips — for this ~25 MB model the memory saving is
+    negligible anyway.
     """
     if donate is None:
-        donate = jax.default_backend() == "tpu"
+        donate = False
     repl = replicated(mesh)
     data = batch_sharding(mesh)
     return jax.jit(
