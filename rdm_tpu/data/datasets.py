@@ -143,13 +143,21 @@ def _epoch_iterator(images, labels, batch: int, seed: int, shard: Tuple[int, int
             yield images[sel], labels[sel]
 
 
-def get_dataset(config, evaluation: bool = False, distributed: bool = True):
-    """Build infinite train/eval iterators of (images NHWC, labels)
-    (reference ``datasets.py:100-194``).  Batch sizes are GLOBAL; each JAX
-    process yields its ``1/process_count`` share, mirroring the reference's
-    per-GPU ``batch_size // ngpus`` (``datasets.py:178``)."""
-    import jax
+def index_iterator(n: int, batch: int, seed: int, shard: Tuple[int, int]):
+    """Infinite epoch-reshuffled BATCH-INDEX iterator (for the on-device
+    dataset path: only indices cross the host boundary)."""
+    n_proc, proc_idx = shard
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(n)[proc_idx::n_proc]
+        for i in range(0, len(order) - batch + 1, batch):
+            yield order[i:i + batch].astype(np.int32)
+        if len(order) < batch:
+            yield rng.integers(0, n, size=batch).astype(np.int32)
 
+
+def load_arrays(config, evaluation: bool = False):
+    """Load the full dataset as (images, labels) numpy arrays."""
     name = config.data.dataset
     if name == "GTOHaloImage":
         ds = GTOHaloImageDataset(config.data.pkl_path)
@@ -171,6 +179,17 @@ def get_dataset(config, evaluation: bool = False, distributed: bool = True):
             os.path.join(config.dataroot, "imagenet-64x64", split))
     else:
         raise ValueError(f"{name} is not valid")
+    return images, labels
+
+
+def get_dataset(config, evaluation: bool = False, distributed: bool = True):
+    """Build infinite train/eval iterators of (images NHWC, labels)
+    (reference ``datasets.py:100-194``).  Batch sizes are GLOBAL; each JAX
+    process yields its ``1/process_count`` share, mirroring the reference's
+    per-GPU ``batch_size // ngpus`` (``datasets.py:178``)."""
+    import jax
+
+    images, labels = load_arrays(config, evaluation=evaluation)
 
     n_proc = jax.process_count() if distributed else 1
     proc = jax.process_index() if distributed else 0

@@ -72,6 +72,16 @@ def jit_train_step(step_fn, mesh: Mesh, donate: bool | None = None):
     )
 
 
+def jit_train_step_on_device(step_fn, mesh: Mesh):
+    """jit the on-device-dataset train step: dataset arrays replicated,
+    the per-step INDEX vector sharded on the data axis — SPMD propagation
+    then shards the gathered minibatch without any host batch transfer."""
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, repl, repl, data, repl),
+                   out_shardings=(repl, repl))
+
+
 def jit_eval_step(eval_fn, mesh: Mesh):
     repl = replicated(mesh)
     data = batch_sharding(mesh)

@@ -27,16 +27,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from rdm_tpu import config as config_lib
-from rdm_tpu.data import get_dataset
+from rdm_tpu.data import get_dataset, index_iterator, load_arrays
 from rdm_tpu.models import create_model
 from rdm_tpu.models.registry import get_cf_score_fn, get_score_fn
-from rdm_tpu.parallel import (jit_eval_step, jit_train_step, make_mesh,
+from rdm_tpu.parallel import (jit_eval_step, jit_train_step,
+                              jit_train_step_on_device, make_mesh,
                               replicated, shard_host_batch)
 from rdm_tpu.sampling import get_sampling_fn
 from rdm_tpu.sde import get_sde
 from rdm_tpu.utils import get_logger, makedirs
 from . import checkpoints
-from .losses import get_optimizer, make_eval_step, make_train_step
+from .losses import (get_optimizer, make_eval_step, make_train_step,
+                     make_train_step_on_device)
 from .state import init_train_state
 
 SAMPLING_EPS = 1e-5  # reference run_train.py:105
@@ -69,15 +71,40 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
     state = jax.device_put(state, replicated(mesh))
 
     train_iter, eval_iter = get_dataset(cfg)
+    classes = bool(cfg.data.get("classes", False))
 
-    train_step = jit_train_step(make_train_step(
-        sde, model, tx, reduce_mean=cfg.training.reduce_mean,
-        likelihood_weighting=cfg.training.likelihood_weighting), mesh)
+    # On-device dataset path (single-process): keep the whole dataset
+    # replicated on the mesh and gather minibatches on-device — only a [B]
+    # index vector crosses the host boundary per step (8x faster on the
+    # tunnelled v5e, and the north star's on-device pkl pipeline).
+    device_data = None
+    if (cfg.training.get("data_on_device", True)
+            and cfg.data.dataset in ("GTOHaloImage", "GTOHalo")
+            and jax.process_count() == 1):
+        imgs_np, lbls_np = load_arrays(cfg)
+        if imgs_np.nbytes + lbls_np.nbytes < 2 << 30:
+            device_data = (
+                jax.device_put(jnp.asarray(imgs_np), replicated(mesh)),
+                jax.device_put(jnp.asarray(lbls_np), replicated(mesh)),
+                lbls_np,
+            )
+            idx_iter = index_iterator(len(imgs_np), cfg.training.batch_size,
+                                      seed=0, shard=(1, 0))
+            mprint(f"dataset resident on device "
+                   f"({(imgs_np.nbytes + lbls_np.nbytes) / 1e6:.1f} MB)")
+
+    if device_data is not None:
+        train_step = jit_train_step_on_device(make_train_step_on_device(
+            sde, model, tx, use_labels=classes,
+            reduce_mean=cfg.training.reduce_mean,
+            likelihood_weighting=cfg.training.likelihood_weighting), mesh)
+    else:
+        train_step = jit_train_step(make_train_step(
+            sde, model, tx, reduce_mean=cfg.training.reduce_mean,
+            likelihood_weighting=cfg.training.likelihood_weighting), mesh)
     eval_step = jit_eval_step(make_eval_step(
         sde, model, reduce_mean=cfg.training.reduce_mean,
         likelihood_weighting=cfg.training.likelihood_weighting), mesh)
-
-    classes = bool(cfg.data.get("classes", False))
 
     # Snapshot sampling: EMA params + CFG (reference run_train.py:168-190).
     if cfg.training.snapshot_sampling:
@@ -107,13 +134,22 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
     first = True
     t_last = time.time()
     for step in range(initial_step, num_train_steps + 1):
-        imgs, labels = next(train_iter)
-        gb, gl = shard_host_batch(mesh, (jnp.asarray(imgs), jnp.asarray(labels)))
-        if first:
-            mprint(f"TRAINING: First batch class labels: {np.asarray(labels[:10]).ravel()}")
-            first = False
         rng, k = jax.random.split(rng)
-        state, loss = train_step(state, gb, gl if classes else None, k)
+        if device_data is not None:
+            d_imgs, d_lbls, lbls_np = device_data
+            idx = next(idx_iter)
+            if first:
+                mprint(f"TRAINING: First batch class labels: "
+                       f"{lbls_np[idx[:10]].ravel()}")
+                first = False
+            state, loss = train_step(state, d_imgs, d_lbls, jnp.asarray(idx), k)
+        else:
+            imgs, labels = next(train_iter)
+            gb, gl = shard_host_batch(mesh, (jnp.asarray(imgs), jnp.asarray(labels)))
+            if first:
+                mprint(f"TRAINING: First batch class labels: {np.asarray(labels[:10]).ravel()}")
+                first = False
+            state, loss = train_step(state, gb, gl if classes else None, k)
 
         if step % cfg.training.log_freq == 0:
             mprint("step: %d, training_loss: %.5e" % (step, float(loss)))
