@@ -72,13 +72,18 @@ def jit_train_step(step_fn, mesh: Mesh, donate: bool | None = None):
     )
 
 
-def jit_train_step_on_device(step_fn, mesh: Mesh):
-    """jit the on-device-dataset train step: dataset arrays replicated,
-    the per-step INDEX vector sharded on the data axis — SPMD propagation
-    then shards the gathered minibatch without any host batch transfer."""
+def jit_train_step_on_device(step_fn, mesh: Mesh, with_idx: bool = False):
+    """jit the on-device-dataset train step: dataset arrays replicated.
+    With ``with_idx`` the per-step INDEX vector is an argument sharded on
+    the data axis (SPMD propagation then shards the gathered minibatch);
+    without it the step draws indices on-device from the key and only the
+    key crosses the host boundary."""
     repl = replicated(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(step_fn, in_shardings=(repl, repl, repl, data, repl),
+    if with_idx:
+        return jax.jit(step_fn, in_shardings=(repl, repl, repl, data, repl),
+                       out_shardings=(repl, repl))
+    return jax.jit(step_fn, in_shardings=(repl, repl, repl, repl),
                    out_shardings=(repl, repl))
 
 

@@ -109,18 +109,28 @@ def make_train_step(sde, model, tx, reduce_mean=False, likelihood_weighting=Fals
 
 
 def make_train_step_on_device(sde, model, tx, use_labels: bool,
-                              reduce_mean=False, likelihood_weighting=False):
-    """Train step with a DEVICE-RESIDENT dataset: the step takes the whole
-    (replicated) dataset plus per-step indices, and gathers the minibatch
-    on-device.  Only the [B] index vector and the PRNG key cross the host
-    boundary each step — the north star's "pkl -> pad -> reshape as
-    on-device gather" (SURVEY.md section 7.3).  Measured on the tunnelled
-    v5e: 98 ms/step with host batches -> ~13 ms/step with on-device gather
-    at batch 4096."""
+                              reduce_mean=False, likelihood_weighting=False,
+                              batch_size: int | None = None):
+    """Train step with a DEVICE-RESIDENT dataset: the whole (replicated)
+    dataset is a step argument and the minibatch is gathered on-device —
+    the north star's "pkl -> pad -> reshape as on-device gather"
+    (SURVEY.md section 7.3).
+
+    Two index modes:
+      * ``batch_size=None``: ``step(state, images, labels, idx, rng)`` —
+        caller supplies the [B] index vector (exact epoch shuffles), which
+        costs one small host upload per step;
+      * ``batch_size=B``: ``step(state, images, labels, rng)`` — indices
+        are drawn on-device from the step key (uniform WITH replacement, a
+        minor documented divergence from the reference's epoch shuffle).
+        Nothing but the PRNG key crosses the host boundary, which matters
+        on remote-attached chips where any upload is a synchronous ~90 ms
+        round trip.
+    """
     loss_fn = get_loss_fn(sde, model, train=True, reduce_mean=reduce_mean,
                           likelihood_weighting=likelihood_weighting)
 
-    def step_fn(state: TrainState, images, labels, idx, rng):
+    def _body(state: TrainState, images, labels, idx, rng):
         batch = jnp.take(images, idx, axis=0)
         class_labels = jnp.take(labels, idx, axis=0) if use_labels else None
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
@@ -130,6 +140,14 @@ def make_train_step_on_device(sde, model, tx, use_labels: bool,
         ema = ema_lib.update(state.ema, params)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state, ema=ema), loss
+
+    if batch_size is None:
+        return _body
+
+    def step_fn(state: TrainState, images, labels, rng):
+        rng, k_idx = jax.random.split(rng)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, images.shape[0])
+        return _body(state, images, labels, idx, rng)
 
     return step_fn
 

@@ -88,8 +88,6 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
                 jax.device_put(jnp.asarray(lbls_np), replicated(mesh)),
                 lbls_np,
             )
-            idx_iter = index_iterator(len(imgs_np), cfg.training.batch_size,
-                                      seed=0, shard=(1, 0))
             mprint(f"dataset resident on device "
                    f"({(imgs_np.nbytes + lbls_np.nbytes) / 1e6:.1f} MB)")
 
@@ -97,7 +95,8 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
         train_step = jit_train_step_on_device(make_train_step_on_device(
             sde, model, tx, use_labels=classes,
             reduce_mean=cfg.training.reduce_mean,
-            likelihood_weighting=cfg.training.likelihood_weighting), mesh)
+            likelihood_weighting=cfg.training.likelihood_weighting,
+            batch_size=cfg.training.batch_size), mesh)
     else:
         train_step = jit_train_step(make_train_step(
             sde, model, tx, reduce_mean=cfg.training.reduce_mean,
@@ -137,12 +136,11 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
         rng, k = jax.random.split(rng)
         if device_data is not None:
             d_imgs, d_lbls, lbls_np = device_data
-            idx = next(idx_iter)
             if first:
                 mprint(f"TRAINING: First batch class labels: "
-                       f"{lbls_np[idx[:10]].ravel()}")
+                       f"{lbls_np[:10].ravel()} (on-device sampling)")
                 first = False
-            state, loss = train_step(state, d_imgs, d_lbls, jnp.asarray(idx), k)
+            state, loss = train_step(state, d_imgs, d_lbls, k)
         else:
             imgs, labels = next(train_iter)
             gb, gl = shard_host_batch(mesh, (jnp.asarray(imgs), jnp.asarray(labels)))

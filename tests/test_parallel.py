@@ -104,3 +104,32 @@ def test_sharded_sampling(world):
     assert x.shape == shape
     x = np.asarray(x)
     assert (x >= 0).all() and (x <= 1).all()
+
+
+def test_on_device_data_step_matches_host_batch(world):
+    """The on-device-gather train step computes the same update as the
+    host-batch step for the same minibatch."""
+    cfg, sde, model, tx, state, mesh = world
+    from rdm_tpu.parallel import jit_train_step_on_device
+    from rdm_tpu.training import make_train_step
+    from rdm_tpu.training.losses import make_train_step_on_device
+
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(0.1, 0.9, (64, 9, 9, 1)), jnp.float32)
+    labels = jnp.asarray(images[:, 0, 0, :])
+    idx = jnp.asarray(rng.permutation(64)[:16].astype(np.int32))
+
+    dev_step = jit_train_step_on_device(
+        make_train_step_on_device(sde, model, tx, use_labels=True), mesh,
+        with_idx=True)
+    host_step = jax.jit(make_train_step(sde, model, tx))
+
+    key = jax.random.PRNGKey(9)
+    d_imgs = jax.device_put(images, replicated(mesh))
+    d_lbls = jax.device_put(labels, replicated(mesh))
+    s_dev, loss_dev = dev_step(state, d_imgs, d_lbls, idx, key)
+    s_host, loss_host = host_step(state, images[idx], labels[idx], key)
+
+    np.testing.assert_allclose(float(loss_dev), float(loss_host), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(s_dev.params), jax.tree.leaves(s_host.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
