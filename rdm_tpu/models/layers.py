@@ -172,7 +172,10 @@ class AttnBlockpp(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        if self.use_pallas:
+        # The fused kernel is exercised/tuned for bf16 activations (f32
+        # tiles trip a Mosaic layout check on jax 0.9); other dtypes fall
+        # back to the XLA path transparently.
+        if self.use_pallas and self.dtype == jnp.bfloat16:
             from rdm_tpu.ops.pallas.attention import fused_attn_block
             gn_scale, gn_bias = _GNParams(name="norm")(C)
             wq, bq = _NINParams(C, name="q")(C)

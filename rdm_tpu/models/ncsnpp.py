@@ -71,6 +71,8 @@ class NCSNpp(nn.Module):
             image_width=m.get("image_width", m.image_size), channels=m.channels,
             scale_by_sigma=m.get("scale_by_sigma", False),
             fourier_scale=m.fourier_scale, nonlinearity=m.nonlinearity,
+            dtype=jnp.bfloat16 if m.get("precision") == "bfloat16" else jnp.float32,
+            attn_pallas=bool(m.get("attn_pallas", False)),
         )
 
     def _has_attn(self, level: int) -> bool:

@@ -67,3 +67,34 @@ def test_fused_block_ragged_batch(block_setup):
         groups=16, skip_rescale=True, block_b=4, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_block_custom_vjp_matches_autodiff(block_setup):
+    """Gradients through the Pallas custom VJP (backward kernel) match
+    autodiff of the XLA module path for every parameter and the input."""
+    x, blk, params = block_setup
+
+    def loss_ref(p, xx):
+        return jnp.sum(jnp.sin(blk.apply({"params": p}, xx)) ** 2)
+
+    def loss_pal(p, xx):
+        out = fused_attn_block(
+            xx, p["norm"]["scale"], p["norm"]["bias"],
+            p["q"]["W"], p["q"]["b"], p["k"]["W"], p["k"]["b"],
+            p["v"]["W"], p["v"]["b"], p["proj"]["W"], p["proj"]["b"],
+            groups=16, skip_rescale=True, block_b=4, interpret=True)
+        return jnp.sum(jnp.sin(out) ** 2)
+
+    (l1, g1) = jax.value_and_grad(loss_ref, argnums=(0, 1))(params, x)
+    (l2, g2) = jax.value_and_grad(loss_pal, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(g2)[0]
+    for (kp, a), (_, b) in zip(sorted(flat1, key=lambda t: str(t[0])),
+                               sorted(flat2, key=lambda t: str(t[0]))):
+        # atol floor: d/d(bk) is analytically zero (softmax shift
+        # invariance), so both sides are pure f32 roundoff there
+        scale = max(float(jnp.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=max(2e-3 * scale, 1e-4),
+                                   err_msg=jax.tree_util.keystr(kp))
