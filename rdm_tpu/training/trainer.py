@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rdm_tpu import config as config_lib
-from rdm_tpu.data import get_dataset, index_iterator, load_arrays
+from rdm_tpu.data import get_dataset, load_arrays
 from rdm_tpu.models import create_model
 from rdm_tpu.models.registry import get_cf_score_fn, get_score_fn
 from rdm_tpu.parallel import (jit_eval_step, jit_train_step,
