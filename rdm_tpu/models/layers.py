@@ -131,6 +131,43 @@ class _GNParams(nn.Module):
         return scale, bias
 
 
+class _ConvInnerParams(nn.Module):
+    """Params matching ``nn.Conv`` (kernel HWIO, bias)."""
+    kh: int
+    kw: int
+    out_ch: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, in_ch):
+        kernel = self.param("kernel", default_init(self.init_scale),
+                            (self.kh, self.kw, in_ch, self.out_ch))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return kernel, bias
+
+
+class _Conv3x3Params(nn.Module):
+    """Parameter holder matching :class:`Conv3x3`'s tree (conv/kernel, bias)."""
+    out_ch: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, in_ch):
+        return _ConvInnerParams(3, 3, self.out_ch, self.init_scale,
+                                name="conv")(in_ch)
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching ``nn.Dense`` (kernel, bias)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features):
+        kernel = self.param("kernel", default_init(), (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class GaussianFourierProjection(nn.Module):
     """sin/cos(2 pi W x) time embedding with fixed W ~ N(0, scale^2)
     (reference ``layerspp.py:19-28``).  W is a parameter for checkpoint
@@ -210,17 +247,44 @@ class AttnBlockpp(nn.Module):
 class ResnetBlockDDPMpp(nn.Module):
     """GN -> act -> conv3x3 -> +time -> GN -> act -> dropout -> conv3x3(0-init)
     with NIN shortcut and /sqrt(2) skip rescale (reference
-    ``layerspp.py:171-214``)."""
+    ``layerspp.py:171-214``).
+
+    ``use_pallas`` routes through the fused VMEM kernel
+    (``rdm_tpu.ops.pallas.resblock``: both GNs, both convs as shifted
+    batched matmuls, temb bias, shortcut, residual in one pass) — used when
+    compute dtype is bf16 and dropout is inactive; identical checkpoint
+    tree either way (param-holder modules)."""
     act: Callable
     out_ch: int
     dropout: float = 0.1
     skip_rescale: bool = False
     init_scale: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, temb=None, *, train: bool = False):
         in_ch = x.shape[-1]
+        dropout_active = train and self.dropout > 0
+        if (self.use_pallas and self.dtype == jnp.bfloat16
+                and not dropout_active and temb is not None):
+            from rdm_tpu.ops.pallas.resblock import fused_resblock
+            gns0, gnb0 = _GNParams(name="norm0")(in_ch)
+            w0, b0 = _Conv3x3Params(self.out_ch, name="conv0")(in_ch)
+            wt, bt = _DenseParams(self.out_ch, name="temb_proj")(temb.shape[-1])
+            gns1, gnb1 = _GNParams(name="norm1")(self.out_ch)
+            w1, b1 = _Conv3x3Params(self.out_ch, init_scale=self.init_scale,
+                                    name="conv1")(self.out_ch)
+            wn = bn = None
+            if in_ch != self.out_ch:
+                wn, bn = _NINParams(self.out_ch, name="shortcut")(in_ch)
+            tembv = (self.act(temb).astype(self.dtype) @ wt.astype(self.dtype)
+                     + bt.astype(self.dtype))
+            return fused_resblock(
+                x.astype(self.dtype), tembv, gns0, gnb0, w0, b0, gns1, gnb1,
+                w1, b1, wn, bn, groups0=group_count(in_ch),
+                groups1=group_count(self.out_ch),
+                skip_rescale=self.skip_rescale)
         h = self.act(nn.GroupNorm(num_groups=group_count(in_ch), epsilon=1e-6,
                                   dtype=self.dtype, name="norm0")(x))
         h = Conv3x3(self.out_ch, name="conv0", dtype=self.dtype)(h)

@@ -57,6 +57,7 @@ class NCSNpp(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_pallas: bool = False      # fused VMEM attention blocks (TPU only)
     attn_softmax_f32: bool = True  # f32 attention softmax (parity default)
+    resblock_pallas: bool = False  # fused VMEM resblocks (bf16 only)
 
     @classmethod
     def from_config(cls, config):
@@ -73,6 +74,7 @@ class NCSNpp(nn.Module):
             fourier_scale=m.fourier_scale, nonlinearity=m.nonlinearity,
             dtype=jnp.bfloat16 if m.get("precision") == "bfloat16" else jnp.float32,
             attn_pallas=bool(m.get("attn_pallas", False)),
+            resblock_pallas=bool(m.get("resblock_pallas", False)),
         )
 
     def _has_attn(self, level: int) -> bool:
@@ -117,6 +119,7 @@ class NCSNpp(nn.Module):
             return ResnetBlockDDPMpp(act=act, out_ch=out_ch, dropout=self.dropout,
                                      skip_rescale=self.skip_rescale,
                                      init_scale=self.init_scale,
+                                     use_pallas=self.resblock_pallas,
                                      name=name, dtype=self.dtype)
 
         def attnblock(name):
