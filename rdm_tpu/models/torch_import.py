@@ -279,6 +279,84 @@ def vdm_params_from_torch(sd: dict) -> dict:
     return out
 
 
+def unet1d_params_from_torch(sd: dict) -> dict:
+    """Legacy ``Unet1D`` state_dict (``GTO_Halo_DM/DM_scripts/...diffusion.py
+    :310-573``) -> Flax tree for ``rdm_tpu.models.unet1d.UNet1D(legacy=True)``.
+
+    Conv1d weights (O, I, k) -> (k, I, O); Linear (O, I) -> (I, O);
+    RMSNorm g (1, C, 1) -> (C,).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out: dict = {}
+
+    def put(path, v):
+        _nest(out, path, v)
+
+    def conv1d(prefix, path):
+        put(path + ["kernel"], np.transpose(sd[prefix + ".weight"], (2, 1, 0)))
+        if prefix + ".bias" in sd:
+            put(path + ["bias"], sd[prefix + ".bias"])
+
+    def linear(prefix, path):
+        put(path + ["kernel"], np.transpose(sd[prefix + ".weight"]))
+        if prefix + ".bias" in sd:
+            put(path + ["bias"], sd[prefix + ".bias"])
+
+    def resblock(prefix, path):
+        linear(prefix + ".mlp.1", path + ["cond_mlp"])
+        for b in ("block1", "block2"):
+            conv1d(f"{prefix}.{b}.proj", path + [b, "proj"])
+            put(path + [b, "norm", "scale"], sd[f"{prefix}.{b}.norm.weight"])
+            put(path + [b, "norm", "bias"], sd[f"{prefix}.{b}.norm.bias"])
+        if prefix + ".res_conv.weight" in sd:
+            conv1d(prefix + ".res_conv", path + ["res_conv"])
+
+    def lin_attn(prefix, path):
+        # Residual(PreNorm(LinearAttention)): .fn.norm (RMSNorm),
+        # .fn.fn.to_qkv, .fn.fn.to_out.0 (conv) + .to_out.1 (RMSNorm)
+        put(path + ["norm", "g"], sd[prefix + ".fn.norm.g"].reshape(-1))
+        conv1d(prefix + ".fn.fn.to_qkv", path + ["fn", "to_qkv"])
+        conv1d(prefix + ".fn.fn.to_out.0", path + ["fn", "to_out"])
+        put(path + ["fn", "to_out_norm", "g"],
+            sd[prefix + ".fn.fn.to_out.1.g"].reshape(-1))
+
+    conv1d("init_conv", ["init_conv"])
+    linear("time_mlp.1", ["time_mlp0"])
+    linear("time_mlp.3", ["time_mlp1"])
+    i = 0
+    while f"classes_mlp.{2 * i}.weight" in sd:
+        linear(f"classes_mlp.{2 * i}", [f"classes_mlp{i}"])
+        i += 1
+
+    lvl = 0
+    while f"downs.{lvl}.0.block1.proj.weight" in sd:
+        resblock(f"downs.{lvl}.0", [f"down{lvl}_block1"])
+        resblock(f"downs.{lvl}.1", [f"down{lvl}_block2"])
+        lin_attn(f"downs.{lvl}.2", [f"down{lvl}_attn"])
+        conv1d(f"downs.{lvl}.3", [f"down{lvl}_downsample"])
+        lvl += 1
+    resblock("mid_block1", ["mid_block1"])
+    put(["mid_attn", "norm", "g"], sd["mid_attn.fn.norm.g"].reshape(-1))
+    conv1d("mid_attn.fn.fn.to_qkv", ["mid_attn", "fn", "to_qkv"])
+    conv1d("mid_attn.fn.fn.to_out", ["mid_attn", "fn", "to_out"])
+    resblock("mid_block2", ["mid_block2"])
+    lvl = 0
+    while f"ups.{lvl}.0.block1.proj.weight" in sd:
+        resblock(f"ups.{lvl}.0", [f"up{lvl}_block1"])
+        resblock(f"ups.{lvl}.1", [f"up{lvl}_block2"])
+        lin_attn(f"ups.{lvl}.2", [f"up{lvl}_attn"])
+        # upsample: Sequential(Upsample, Conv1d) -> ups.N.3.1.* ; plain
+        # Conv1d (is_last) -> ups.N.3.*
+        if f"ups.{lvl}.3.1.weight" in sd:
+            conv1d(f"ups.{lvl}.3.1", [f"up{lvl}_upsample"])
+        else:
+            conv1d(f"ups.{lvl}.3", [f"up{lvl}_upsample"])
+        lvl += 1
+    resblock("final_res_block", ["final_res_block"])
+    conv1d("final_conv", ["final_conv"])
+    return out
+
+
 def ncsnpp_ema_param_order(sd_keys) -> list:
     """Order of ``model.parameters()`` with ``requires_grad=True`` in the
     reference model — the order of the EMA ``shadow_params`` list

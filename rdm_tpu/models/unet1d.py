@@ -79,6 +79,7 @@ class RandomOrLearnedSinusoidalPosEmb(nn.Module):
 class Block1d(nn.Module):
     dim_out: int
     groups: int = 8
+    legacy: bool = False  # legacy file uses SiLU, the RDM port uses GELU
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
@@ -87,15 +88,41 @@ class Block1d(nn.Module):
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift
-        return jax.nn.gelu(x)
+        return jax.nn.silu(x) if self.legacy else jax.nn.gelu(x)
 
 
 class ResnetBlock1d(nn.Module):
+    """Two conditioning variants exist in the reference:
+
+    * RDM port (``models/unet1d.py:100-135``): separate GELU+Dense
+      projections of time and class embeddings, summed into a
+      (scale, shift) = (e, e) FiLM applied in block2;
+    * legacy original (``...diffusion.py:221-250``): ONE
+      SiLU+Dense(2*dim_out) over cat(time, class) chunked into
+      (scale, shift), applied in block1.
+    """
     dim_out: int
     groups: int = 8
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, x, temb=None, cemb=None):
+        if self.legacy:
+            scale_shift = None
+            if temb is not None or cemb is not None:
+                cond = jnp.concatenate(
+                    [e for e in (temb, cemb) if e is not None], axis=-1)
+                cond = nn.Dense(self.dim_out * 2,
+                                name="cond_mlp")(jax.nn.silu(cond))[:, None, :]
+                scale_shift = tuple(jnp.split(cond, 2, axis=-1))
+            h = Block1d(self.dim_out, self.groups, legacy=True,
+                        name="block1")(x, scale_shift)
+            h = Block1d(self.dim_out, self.groups, legacy=True,
+                        name="block2")(h)
+            if x.shape[-1] != self.dim_out:
+                x = nn.Conv(self.dim_out, (1,), name="res_conv")(x)
+            return h + x
+
         h = Block1d(self.dim_out, self.groups, name="block1")(x)
         scale_shift = None
         if temb is not None:
@@ -112,8 +139,13 @@ class ResnetBlock1d(nn.Module):
 
 
 class LinearAttention1d(nn.Module):
+    """Two variants again: the RDM port (``models/unet1d.py:137-153``,
+    q softmax over length / k over channel, plain Conv out) and the legacy
+    original (``...diffusion.py:253-281``, q softmax over channel scaled,
+    k over length, kv-context form, Conv+RMSNorm out)."""
     heads: int = 4
     dim_head: int = 32
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -126,6 +158,14 @@ class LinearAttention1d(nn.Module):
             return t.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)
 
         q, k, v = heads(q), heads(k), heads(v)
+        if self.legacy:
+            q = jax.nn.softmax(q, axis=-2) * self.dim_head**-0.5  # over D
+            k = jax.nn.softmax(k, axis=-1)                        # over L
+            context = jnp.einsum("bhdn,bhen->bhde", k, v)
+            out = jnp.einsum("bhde,bhdn->bhen", context, q)
+            out = out.transpose(0, 3, 1, 2).reshape(B, L, hidden)
+            out = nn.Conv(C, (1,), name="to_out")(out)
+            return RMSNorm1d(name="to_out_norm")(out)
         q = jax.nn.softmax(q, axis=-1)   # over L (torch dim=-1)
         k = jax.nn.softmax(k, axis=-2)   # over D (torch dim=-2)
         context = jnp.einsum("bhdk,bhdl->bhkl", k, v)
@@ -159,11 +199,23 @@ class Attention1d(nn.Module):
 
 
 class PreNormResidual(nn.Module):
-    fn: nn.Module
+    """Residual(PreNorm(attention)).  The inner module is constructed HERE
+    (name="fn") — passing a constructed module as a field would bind its
+    params to the outer scope."""
+    attn: str  # "linear" | "full"
+    heads: int = 4
+    dim_head: int = 32
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return self.fn(RMSNorm1d(name="norm")(x)) + x
+        h = RMSNorm1d(name="norm")(x)
+        if self.attn == "linear":
+            fn = LinearAttention1d(self.heads, self.dim_head,
+                                   legacy=self.legacy, name="fn")
+        else:
+            fn = Attention1d(self.heads, self.dim_head, name="fn")
+        return fn(h) + x
 
 
 @register_model(name="unet1d")
@@ -187,6 +239,7 @@ class UNet1D(nn.Module):
     attn_dim_head: int = 32
     attn_heads: int = 4
     self_condition: bool = False
+    legacy: bool = False  # legacy GTO_Halo_DM semantics vs the RDM port
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -258,10 +311,13 @@ class UNet1D(nn.Module):
         hs = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
-            x = ResnetBlock1d(dim_in, groups, name=f"down{ind}_block1")(x, temb, c)
+            x = ResnetBlock1d(dim_in, groups, legacy=self.legacy,
+                              name=f"down{ind}_block1")(x, temb, c)
             hs.append(x)
-            x = ResnetBlock1d(dim_in, groups, name=f"down{ind}_block2")(x, temb, c)
-            x = PreNormResidual(LinearAttention1d(self.attn_heads, self.attn_dim_head),
+            x = ResnetBlock1d(dim_in, groups, legacy=self.legacy,
+                              name=f"down{ind}_block2")(x, temb, c)
+            x = PreNormResidual("linear", self.attn_heads, self.attn_dim_head,
+                                legacy=self.legacy,
                                 name=f"down{ind}_attn")(x)
             hs.append(x)
             if not is_last:
@@ -274,10 +330,12 @@ class UNet1D(nn.Module):
                             name=f"down{ind}_downsample")(x)
 
         mid = dims[-1]
-        x = ResnetBlock1d(mid, groups, name="mid_block1")(x, temb, c)
-        x = PreNormResidual(Attention1d(self.attn_heads, self.attn_dim_head),
+        x = ResnetBlock1d(mid, groups, legacy=self.legacy,
+                          name="mid_block1")(x, temb, c)
+        x = PreNormResidual("full", self.attn_heads, self.attn_dim_head,
                             name="mid_attn")(x)
-        x = ResnetBlock1d(mid, groups, name="mid_block2")(x, temb, c)
+        x = ResnetBlock1d(mid, groups, legacy=self.legacy,
+                          name="mid_block2")(x, temb, c)
 
         n = len(in_out)
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
@@ -285,10 +343,13 @@ class UNet1D(nn.Module):
             is_second_last = ind == n - 2
             is_third_last = ind == n - 3
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock1d(dim_out, groups, name=f"up{ind}_block1")(x, temb, c)
+            x = ResnetBlock1d(dim_out, groups, legacy=self.legacy,
+                              name=f"up{ind}_block1")(x, temb, c)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock1d(dim_out, groups, name=f"up{ind}_block2")(x, temb, c)
-            x = PreNormResidual(LinearAttention1d(self.attn_heads, self.attn_dim_head),
+            x = ResnetBlock1d(dim_out, groups, legacy=self.legacy,
+                              name=f"up{ind}_block2")(x, temb, c)
+            x = PreNormResidual("linear", self.attn_heads, self.attn_dim_head,
+                                legacy=self.legacy,
                                 name=f"up{ind}_attn")(x)
             if is_third_last:
                 x = _nearest_resize_1d(x, int(self.seq_length / 2))
@@ -303,7 +364,8 @@ class UNet1D(nn.Module):
                 x = nn.Conv(dim_in, (3,), padding="SAME", name=f"up{ind}_upsample")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock1d(self.dim, groups, name="final_res_block")(x, temb, c)
+        x = ResnetBlock1d(self.dim, groups, legacy=self.legacy,
+                          name="final_res_block")(x, temb, c)
         out_dim = self.out_dim or self.channels * (2 if self.learned_variance else 1)
         return nn.Conv(out_dim, (1,), name="final_conv")(x)
 

@@ -63,7 +63,7 @@ def main(argv=None):
         dim_mults=tuple(map(int, args.unet_dim_mults.split(","))),
         embed_class_layers_dims=tuple(map(int, args.embed_class_layers_dims.split(","))),
         class_dim=args.class_dim, cond_drop_prob=args.cond_drop_prob,
-        mask_val=args.mask_val, seq_length=args.seq_length)
+        mask_val=args.mask_val, seq_length=args.seq_length, legacy=True)
     diffusion = GaussianDiffusion1D(model=model, seq_length=args.seq_length,
                                     timesteps=args.timesteps,
                                     objective=args.objective)

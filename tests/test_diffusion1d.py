@@ -176,3 +176,42 @@ def test_unet1d_end_to_end_ancestral_sampling():
         params, jax.random.PRNGKey(3))
     assert out.shape == (2, 67, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet1d_legacy_forward_parity():
+    """Forward parity of UNet1D(legacy=True) against the legacy torch model
+    through the weight-import shim (fixtures from
+    scripts/gen_golden_unet1d.py)."""
+    path = os.path.join(os.path.dirname(__file__), "golden", "unet1d_golden.npz")
+    if not os.path.exists(path):
+        pytest.skip("run scripts/gen_golden_unet1d.py first")
+    g = np.load(path)
+    from rdm_tpu.models.torch_import import unet1d_params_from_torch
+
+    model = UNet1D(dim=16, channels=1, dim_mults=(1, 2, 4),
+                   embed_class_layers_dims=(16, 16), class_dim=1,
+                   cond_drop_prob=0.0, mask_val=-1.0, seq_length=66,
+                   legacy=True)
+    sd = {k.removeprefix("sd."): g[k] for k in g.files if k.startswith("sd.")}
+    params = unet1d_params_from_torch(sd)
+
+    # param-count parity
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n == int(g["n_params"])
+    # tree identical to a fresh init
+    x0 = jnp.zeros((1, 66, 1))
+    pinit = model.init({"params": jax.random.PRNGKey(0)}, x0,
+                       jnp.zeros((1,)), jnp.zeros((1, 1)))["params"]
+    assert jax.tree.structure(jax.tree.map(lambda v: v.shape, pinit)) == \
+        jax.tree.structure(jax.tree.map(lambda v: v.shape, params))
+
+    x = jnp.asarray(g["x"]).transpose(0, 2, 1)  # (B,1,L) -> (B,L,1)
+    t = jnp.asarray(g["t"])
+    classes = jnp.asarray(g["classes"])
+    out = model.apply({"params": params}, x, t, classes, cond_drop_prob=0.0)
+    ref = g["out"].transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-5)
+
+    out_cfg = model.forward_with_cond_scale(params, x, t, classes, cond_scale=5.0)
+    ref_cfg = g["out_cfg"].transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(out_cfg), ref_cfg, rtol=5e-4, atol=5e-4)

@@ -82,7 +82,7 @@ def main(argv=None):
         dim=args.unet_dim, channels=args.channel_num, dim_mults=dim_mults,
         embed_class_layers_dims=class_dims, class_dim=args.class_dim,
         cond_drop_prob=args.cond_drop_prob, mask_val=args.mask_val,
-        seq_length=args.seq_length)
+        seq_length=args.seq_length, legacy=True)
 
     diffusion = GaussianDiffusion1D(
         model=model, seq_length=args.seq_length, timesteps=args.timesteps,
