@@ -127,6 +127,45 @@ def restore_checkpoint(path: str, state: TrainState,
                       opt_state=opt_state, ema=ema)
 
 
+def _state_to_tree(state: TrainState) -> dict:
+    return {
+        "step": np.asarray(state.step),
+        "params": _to_numpy_tree(state.params),
+        "opt_state": _to_numpy_tree(state.opt_state),
+        "ema_shadow": _to_numpy_tree(state.ema.shadow_params),
+        "ema_num_updates": np.asarray(state.ema.num_updates),
+        "ema_decay": np.asarray(state.ema.decay, np.float32),
+    }
+
+
+def save_checkpoint_orbax(path: str, state: TrainState) -> None:
+    """Native TPU checkpoint via Orbax (async-capable, multi-host sharded
+    saves on real pods).  The torch-pickle format remains the
+    reference-parity interchange; this is the production-native option
+    (SURVEY.md section 5 checkpoint/resume note)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), _state_to_tree(jax.device_get(state)),
+               force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint_orbax(path: str, state: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path),
+                         _state_to_tree(jax.device_get(state)))
+    ema = ema_lib.EMAState(decay=float(tree["ema_decay"]),
+                           num_updates=np.int32(tree["ema_num_updates"]),
+                           shadow_params=tree["ema_shadow"])
+    return TrainState(step=np.int32(tree["step"]), params=tree["params"],
+                      opt_state=jax.tree.map(lambda _, v: v, state.opt_state,
+                                             tree["opt_state"]),
+                      ema=ema)
+
+
 def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     """Find the newest ``checkpoint_{k}.pth`` (reference search order:
     ``checkpoints-meta`` first, then highest k — ``gto_halo_benchmarking.py:155-163``)."""

@@ -136,3 +136,19 @@ def test_latest_checkpoint(tmp_path):
         (d / f"checkpoint_{k}.pth").write_bytes(b"x")
     assert checkpoints.latest_checkpoint(str(d)).endswith("checkpoint_12.pth")
     assert checkpoints.latest_checkpoint(str(tmp_path / "none")) is None
+
+
+def test_orbax_roundtrip(tmp_path, world):
+    cfg, model, tx, state = world
+    state = _advance(state, model, tx, cfg, n=1)
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoints.save_checkpoint_orbax(path, jax.device_get(state))
+
+    fresh = init_train_state(model, tx, cfg, rng=jax.random.PRNGKey(11))
+    restored = checkpoints.restore_checkpoint_orbax(path, fresh)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.ema.shadow_params),
+                    jax.tree.leaves(state.ema.shadow_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -113,3 +113,19 @@ def test_jit_and_grad(model, init_params):
     assert all(np.isfinite(np.asarray(t)).all() for t in flat)
     # Fourier W is frozen via stop_gradient
     assert float(jnp.abs(g["time_embed"]["W"]).max()) == 0.0
+
+
+def test_ddpmpp_config_builds():
+    """The CIFAR ddpmpp config path builds and forward-runs (scaled-down nf
+    for CPU speed; topology/attn schedule preserved: 4 levels, attn@16)."""
+    from rdm_tpu.config import load_config
+    cfg = load_config("train", overrides=[
+        "model=ddpmpp", "data=cifar10", "model.nf=8", "model.num_res_blocks=1",
+        "model.channels=3", "model.image_size=32", "model.num_classes=1",
+        "model.cond_drop_prob=0.0", "model.conditional=false"])
+    m = NCSNpp.from_config(cfg)
+    assert m.ch_mult == (1, 2, 2, 2) and m.attn_resolutions == (16,)
+    x = jnp.zeros((1, 32, 32, 3))
+    p = m.init({"params": jax.random.PRNGKey(0)}, x, jnp.full((1,), 0.5))["params"]
+    out = m.apply({"params": p}, x, jnp.full((1,), 0.5))
+    assert out.shape == (1, 32, 32, 3)

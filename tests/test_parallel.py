@@ -133,3 +133,28 @@ def test_on_device_data_step_matches_host_batch(world):
     np.testing.assert_allclose(float(loss_dev), float(loss_host), rtol=2e-5)
     for a, b in zip(jax.tree.leaves(s_dev.params), jax.tree.leaves(s_host.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_sampler_matches_unsharded(world):
+    """Batch-sharded mass sampling is bit-identical to the single-device
+    program (SPMD must not change the math)."""
+    cfg, sde, model, tx, state, mesh = world
+    from rdm_tpu.sampling import get_pc_sampler
+    from rdm_tpu.models.registry import get_cf_score_fn
+
+    small_sde = RVESDE(0.01, 5.0, N=12)
+    shape = (16, 9, 9, 1)
+    sampler = get_pc_sampler(small_sde, shape, eps=1e-5)
+    labels = jnp.zeros((16, 1))
+    weight = jnp.zeros((16,))
+
+    def run(params, key):
+        score_fn = get_cf_score_fn(small_sde, model, params, labels, weight)
+        return sampler(score_fn, key)[0]
+
+    shard = jax.jit(run, in_shardings=(replicated(mesh), None),
+                    out_shardings=batch_sharding(mesh))
+    plain = jax.jit(run)
+    a = np.asarray(shard(state.params, jax.random.PRNGKey(3)))
+    b = np.asarray(plain(state.params, jax.random.PRNGKey(3)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
