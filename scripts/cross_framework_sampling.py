@@ -16,10 +16,12 @@ Usage:
       --ref_batch 64 --our_batch 1024
 """
 import argparse
+import os
 import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REF = "/root/reference/Reflected-Diffusion"
 
 

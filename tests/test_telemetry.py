@@ -55,3 +55,19 @@ def test_cleanup_training_runs(tmp_path, monkeypatch, capsys):
     (root / "run_without").mkdir(parents=True)
     empty = c.find_training_runs_without_checkpoints(str(root))
     assert [e.name for e in empty] == ["run_without"]
+
+
+def test_trajectory_plots(tmp_path):
+    from trajectory_plots import plot_trajectories
+    rng = np.random.default_rng(0)
+    samples = np.zeros((3, 67))
+    samples[:, 0] = rng.uniform(0.008, 0.095, 3)
+    samples[:, 1] = rng.uniform(2, 5, 3)
+    samples[:, 2:4] = rng.uniform(0, 2, (3, 2))
+    ctrl = samples[:, 4:64].reshape(3, 20, 3)
+    ctrl[:, :, 0] = rng.uniform(0, 2 * np.pi, (3, 20))
+    ctrl[:, :, 1] = rng.uniform(0, 2 * np.pi, (3, 20))
+    ctrl[:, :, 2] = rng.uniform(0, 1, (3, 20))
+    out = str(tmp_path / "traj.png")
+    plot_trajectories(samples, out, n=3)
+    assert os.path.exists(out)
