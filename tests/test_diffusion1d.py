@@ -215,3 +215,14 @@ def test_unet1d_legacy_forward_parity():
     out_cfg = model.forward_with_cond_scale(params, x, t, classes, cond_scale=5.0)
     ref_cfg = g["out_cfg"].transpose(0, 2, 1)
     np.testing.assert_allclose(np.asarray(out_cfg), ref_cfg, rtol=5e-4, atol=5e-4)
+
+
+def test_interpolate():
+    """Latent interpolation (reference :860-877) returns valid sequences."""
+    diff = GaussianDiffusion1D(MockModel(), seq_length=8, timesteps=12)
+    x1 = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 1)) * 2 - 1
+    x2 = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 1)) * 2 - 1
+    classes = jnp.zeros((2, 1))
+    out = diff.interpolate(None, jax.random.PRNGKey(2), x1, x2, classes, lam=0.3)
+    assert out.shape == x1.shape
+    assert np.isfinite(np.asarray(out)).all()
