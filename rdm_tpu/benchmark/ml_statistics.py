@@ -99,6 +99,30 @@ class MLStatisticsBenchmarker:
         except Exception:
             return float("inf")
 
+    @staticmethod
+    def compute_image_metrics(samples, reference) -> Dict[str, float]:
+        """PSNR/SSIM for image-shaped data (reference ``ml_statistics.py:
+        313-348`` uses skimage; implemented directly here so the metrics
+        exist without the optional dependency).  Expects [N, H, W, C]
+        float arrays in [0, 1]."""
+        n = min(samples.shape[0], reference.shape[0])
+        s = np.clip(np.round(samples[:n] * 255), 0, 255)
+        r = np.clip(np.round(reference[:n] * 255), 0, 255)
+        psnrs, ssims = [], []
+        c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+        for i in range(n):
+            mse = float(np.mean((s[i] - r[i]) ** 2))
+            psnrs.append(10 * np.log10(255.0**2 / max(mse, 1e-12)))
+            mu_s, mu_r = s[i].mean(), r[i].mean()
+            var_s, var_r = s[i].var(), r[i].var()
+            cov = float(np.mean((s[i] - mu_s) * (r[i] - mu_r)))
+            ssims.append(((2 * mu_s * mu_r + c1) * (2 * cov + c2))
+                         / ((mu_s**2 + mu_r**2 + c1) * (var_s + var_r + c2)))
+        return {"psnr_mean": float(np.mean(psnrs)),
+                "psnr_std": float(np.std(psnrs)),
+                "ssim_mean": float(np.mean(ssims)),
+                "ssim_std": float(np.std(ssims))}
+
     # ------------------------------------------------------------------ #
     def run_benchmark(self) -> Dict[str, Any]:
         print("Starting ML statistics benchmark...")

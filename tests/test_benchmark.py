@@ -135,3 +135,17 @@ def test_run_benchmark_cli(run_dir, tmp_path):
         "--batch_size", "2", "--output_dir", str(tmp_path / "cli_out"),
         "--test_mode"])
     assert "ml_statistics" in results
+
+
+def test_image_metrics_psnr_ssim():
+    from rdm_tpu.benchmark.ml_statistics import MLStatisticsBenchmarker as M
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(0, 1, (4, 8, 8, 3))
+    # identical images: PSNR very high, SSIM ~1
+    m = M.compute_image_metrics(ref, ref)
+    assert m["psnr_mean"] > 60 and m["ssim_mean"] > 0.99
+    # noisy images: lower PSNR, SSIM < 1
+    noisy = np.clip(ref + rng.normal(0, 0.1, ref.shape), 0, 1)
+    m2 = M.compute_image_metrics(noisy, ref)
+    assert 10 < m2["psnr_mean"] < m["psnr_mean"]
+    assert m2["ssim_mean"] < m["ssim_mean"]
