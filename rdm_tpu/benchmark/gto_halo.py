@@ -54,7 +54,7 @@ class GTOHaloBenchmarkConfig:
     device: Optional[str] = None  # signature parity; placement is via jit
     max_workers: Optional[int] = None
     test_mode: bool = False
-    oracle_backend: Optional[str] = None  # None=auto, "pydylan", "jax"
+    oracle_backend: Optional[str] = None  # None=auto, "pydylan", "native", "jax"
 
 
 class GTOHaloBenchmarker:
@@ -150,7 +150,14 @@ class GTOHaloBenchmarker:
     # ------------------------------------------------------------------ #
     def compute_physical_validation_metrics(self, samples: np.ndarray) -> Dict[str, Any]:
         cfgb = self.config
-        backend = cfgb.oracle_backend or ("pydylan" if oracle_lib.PYDYLAN_AVAILABLE else "jax")
+        backend = cfgb.oracle_backend
+        if backend is None:
+            if oracle_lib.PYDYLAN_AVAILABLE:
+                backend = "pydylan"
+            elif oracle_lib.native_available():
+                backend = "native"  # C++ LM solver (rdm_tpu/native)
+            else:
+                backend = "jax"
         if not cfgb.enable_physical_validation:
             return {
                 "physical_validation_disabled": True,
@@ -172,7 +179,32 @@ class GTOHaloBenchmarker:
             backend=backend)
 
         t0 = time.time()
-        if backend == "jax":
+        if backend == "native":
+            # ONE batched call; the std::thread fan-out lives inside the
+            # C++ library (the native twin of the reference's
+            # ThreadPoolExecutor SNOPT fan-out).
+            res = oracle_lib.evaluate_warmstarts_native(
+                samples[:, 1:].astype(np.float64),
+                samples[:, 0].astype(np.float64),
+                n_threads=cfgb.max_workers or 0)
+            per_sample_time = (time.time() - t0) / max(len(samples), 1)
+            results = [{
+                "results.control": res["refined"][i],
+                "feasibility": bool(res["feasible"][i]),
+                "snopt_inform": int(res["inform"][i]),
+                "thrust": 1.0,
+                "solving_time": per_sample_time,
+                "cost_alpha": float(samples[i, 0]),
+            } for i in range(len(samples))]
+            extra = {"oracle_backend": "native",
+                     "oracle_note": ("C++ Levenberg-Marquardt local solve of "
+                                     "each warm start (pydylan/SNOPT "
+                                     "unavailable); feasible = the local "
+                                     "solver converged from the sample"),
+                     "mean_refine_iters": float(np.mean(res["iters"])),
+                     "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
+                     "mean_terminal_energy_error": float(np.mean(res["energy_err"]))}
+        elif backend == "jax":
             # ONE vmapped evaluation of the whole batch.
             res = oracle_lib.evaluate_warmstarts(
                 samples[:, 1:].astype(np.float32), samples[:, 0].astype(np.float32))

@@ -45,6 +45,12 @@ except Exception:
     PYDYLAN_AVAILABLE = False
 
 
+def native_available() -> bool:
+    """True when this framework's own C++ oracle (rdm_tpu.native) builds."""
+    from rdm_tpu import native
+    return native.available()
+
+
 class CR3BPEarthMissionWarmstartSimulatorBoundary:
     """Reference-compatible constructor signature (keyword use only)."""
 
@@ -85,6 +91,8 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             raise ValueError("halo_energy is not sampled!")
         if self.backend == "pydylan":
             return self._simulate_pydylan(np.asarray(earth_initial_guess, float))
+        if self.backend == "native":
+            return self._simulate_native(np.asarray(earth_initial_guess, float))
         return self._simulate_jax(np.asarray(earth_initial_guess, float))
 
     # ------------------------------------------------------------------ #
@@ -156,6 +164,29 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             "solving_time": solving_time,
             "cost_alpha": self.halo_energy,
             "_results": results,
+        }
+
+    # ------------------------------------------------------------------ #
+    # Native C++ backend: LM "SNOPT-lite" local solve (rdm_tpu/native).
+    def _simulate_native(self, guess):
+        t0 = time.time()
+        res = evaluate_warmstarts_native(
+            np.asarray(guess)[None, :], np.asarray([self.halo_energy]),
+            thrust=self.thrust, n_segments=self.number_of_segments,
+            start_bdry=self.start_bdry,
+            max_shoot=self.maximum_shooting_time)
+        solving_time = time.time() - t0
+        return {
+            # like SNOPT, the native solver returns the SOLVED control state
+            "results.control": res["refined"][0],
+            "feasibility": bool(res["feasible"][0]),
+            "snopt_control_evaluations": int(res["iters"][0]) * 64,
+            "snopt_inform": int(res["inform"][0]),
+            "thrust": self.thrust,
+            "solving_time": solving_time,
+            "cost_alpha": self.halo_energy,
+            "terminal_pos_error": float(res["pos_err"][0]),
+            "terminal_energy_error": float(res["energy_err"][0]),
         }
 
     # ------------------------------------------------------------------ #
@@ -256,3 +287,72 @@ def evaluate_warmstarts(guesses: np.ndarray, halo_energies: np.ndarray,
     inform = np.where(tight, 1, np.where(loose, 3, 13))
     return {"feasible": loose, "optimal": tight, "inform": inform,
             "pos_err": pos_err, "energy_err": energy_err}
+
+
+# --------------------------------------------------------------------------
+# Native C++ oracle (rdm_tpu/native): thread-pool batched LM refinement of
+# every warm start — the framework's own equivalent of the reference's
+# per-sample SNOPT solve (cr3bp_...warmstart.py:116-176), at ~ms instead of
+# ~17-20 s per sample (BASELINE.md).
+
+_NATIVE_CONST_CACHE = {}
+
+
+def _mission_constants(start_bdry: float):
+    """(spiral_end f64[7], l1x, e_l1), cached per boundary time."""
+    key = round(start_bdry, 6)
+    if key not in _NATIVE_CONST_CACHE:
+        from . import cr3bp as dyn
+        spiral_end = np.asarray(dyn.spiral_to_boundary(start_bdry, thrust_n=1.0),
+                                np.float64)
+        l1x = dyn.l1_position()
+        l1_state = jnp.asarray([l1x, 0, 0, 0, 0, 0], jnp.float32)
+        e_l1 = float(dyn.jacobi_energy(l1_state))
+        _NATIVE_CONST_CACHE[key] = (spiral_end, l1x, e_l1)
+    return _NATIVE_CONST_CACHE[key]
+
+
+def evaluate_warmstarts_native(guesses: np.ndarray, halo_energies: np.ndarray,
+                               thrust: float = 1.0, n_segments: int = 20,
+                               start_bdry: float = 6.48423370092,
+                               refine: bool = True, max_iters: int = 30,
+                               max_shoot: float = 40.0, max_coast: float = 15.0,
+                               n_threads: int = 0):
+    """Grade [N, 66] warm starts with the native C++ solver.
+
+    With ``refine=True`` each guess is locally solved (Levenberg-Marquardt
+    on the L1-arrival residual) before grading — a sample counts as
+    feasible when the local solver CONVERGES from it, exactly the
+    semantics the reference gets from SNOPT warm starts.  With
+    ``refine=False`` this is a straight propagate-and-check, numerically
+    the f64 twin of :func:`evaluate_warmstarts`.
+    """
+    from rdm_tpu import native
+
+    guesses = np.ascontiguousarray(guesses, np.float64)
+    energies = np.ascontiguousarray(halo_energies, np.float64)
+    spiral_end, l1x, e_l1 = _mission_constants(start_bdry)
+
+    if refine:
+        refined, pos_err, energy_err, iters = native.refine_batch(
+            guesses, energies, spiral_end, l1x, e_l1, n_segments=n_segments,
+            thrust=thrust, max_iters=max_iters, tol=1e-3,
+            max_shoot=max_shoot, max_coast=max_coast, n_threads=n_threads)
+        _, _, final_mass = native.evaluate_batch(
+            refined, energies, spiral_end, l1x, e_l1, n_segments=n_segments,
+            thrust=thrust, n_threads=n_threads)
+    else:
+        refined = guesses
+        iters = np.zeros(len(guesses), np.int32)
+        pos_err, energy_err, final_mass = native.evaluate_batch(
+            guesses, energies, spiral_end, l1x, e_l1, n_segments=n_segments,
+            thrust=thrust, n_threads=n_threads)
+
+    sane = (np.isfinite(pos_err) & (pos_err < 1e5)
+            & (final_mass > 300.0) & (final_mass < 1000.1))
+    tight = sane & (pos_err < _POS_TOL_TIGHT) & (energy_err < _ENERGY_TOL)
+    loose = sane & (pos_err < _POS_TOL_LOOSE) & (energy_err < 2 * _ENERGY_TOL)
+    inform = np.where(tight, 1, np.where(loose, 3, 13))
+    return {"feasible": loose, "optimal": tight, "inform": inform,
+            "pos_err": pos_err, "energy_err": energy_err,
+            "refined": refined, "iters": iters, "final_mass": final_mass}
