@@ -36,6 +36,9 @@ def main():
     p.add_argument("--attn_pallas", action="store_true", default=True,
                    help="fused VMEM attention blocks (default on)")
     p.add_argument("--no_attn_pallas", dest="attn_pallas", action="store_false")
+    p.add_argument("--guidance_weight", type=float, default=0.0,
+                   help="CFG weight; 0 (the reference benchmark default) "
+                        "elides the unconditional forward at trace time")
     args = p.parse_args()
 
     from rdm_tpu.config import load_config
@@ -66,8 +69,12 @@ def main():
         def run(params, key):
             kl, ks = jax.random.split(key)
             labels = jax.random.uniform(kl, (batch, 1))
-            weight = jnp.zeros((batch,))
-            score_fn = get_cf_score_fn(sde, model, params, labels, weight)
+            # static scalar weight: 0.0 (the reference benchmark default,
+            # run_benchmark.py --guidance_weight) makes the CFG combination
+            # identically s_cond, so get_cf_score_fn skips the doubled
+            # cond/uncond forward the reference always pays for
+            score_fn = get_cf_score_fn(sde, model, params, labels,
+                                       args.guidance_weight)
             x, nfe = sampler(score_fn, ks)
             return x
 
@@ -93,9 +100,15 @@ def main():
               f"steady {best:.3f}s -> {batch / best:.1f} traj/s", file=sys.stderr)
         return batch / best
 
-    # batch 1024 is the tuned sweet spot on v5e (2048 saturates HBM with the
-    # CFG-doubled batch and compiles ~3x slower; see BENCH notes)
-    candidates = [args.batch] if args.batch > 0 else [1024]
+    # batch 1024 is the tuned sweet spot on v5e with the CFG-doubled
+    # forward; with the w=0 fast path (half the working set) 2048 is also
+    # in play — auto mode measures both (see BENCH notes)
+    if args.batch > 0:
+        candidates = [args.batch]
+    elif args.guidance_weight == 0.0:
+        candidates = [1024, 2048]
+    else:
+        candidates = [1024]
     best = max(time_batch(b) for b in candidates)
 
     print(json.dumps({

@@ -65,8 +65,10 @@ def generate_raw_samples(lm: LoadedModel, num_samples: int, batch_size: int,
     def run(params, key):
         kl, ks = jax.random.split(key)
         labels = jax.random.uniform(kl, (batch_size, cfg.model.get("num_classes", 1)))
-        weight = jnp.full((batch_size,), float(guidance_weight))
-        score_fn = get_cf_score_fn(sde, lm.model, params, labels, weight)
+        # static scalar: w == 0 elides the unconditional half of the
+        # forward at trace time (see get_cf_score_fn fast path)
+        score_fn = get_cf_score_fn(sde, lm.model, params, labels,
+                                   float(guidance_weight))
         x, _ = sampling_fn(score_fn, ks)
         return x, labels
 

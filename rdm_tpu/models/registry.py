@@ -59,8 +59,20 @@ def get_cf_score_fn(sde, model, params, class_labels, weight):
     """Classifier-free-guided score: ONE 2B-batch cond/uncond forward
     (reference ``models/utils.py:108-140``), then
     ``(1 + w) * s_cond - w * s_uncond`` with per-sample weight broadcast.
+
+    Static fast path: when ``weight`` is a *Python scalar* 0 (or None),
+    the combination is identically ``s_cond`` and the unconditional half
+    of the forward is dead compute — the reference runs the doubled batch
+    anyway (``models/utils.py:121-125``); here it is elided at trace
+    time, halving sampling FLOPs with bit-identical outputs.  Pass a
+    traced/array weight to keep the general path.
     """
     score_fn = get_score_fn(sde, model, params, train=False)
+
+    if weight is None or (isinstance(weight, (int, float)) and float(weight) == 0.0):
+        def cond_score_fn(x, t):
+            return score_fn(x, t, class_labels)
+        return cond_score_fn
 
     def weighted_score_fn(x, t):
         B = x.shape[0]

@@ -85,8 +85,8 @@ def main(argv=None):
         if use_cfg:
             labels = jnp.full((B, load_cfg.model.get("num_classes", 1)),
                               float(cfg.get("label", 0)))
-            weight = jnp.full((B,), float(cfg.get("w", 0)))
-            score_fn = get_cf_score_fn(sde, model, params, labels, weight)
+            score_fn = get_cf_score_fn(sde, model, params, labels,
+                                       float(cfg.get("w", 0)))
         else:
             plain = get_score_fn(sde, model, params)
             score_fn = lambda x, t: plain(x, t)

@@ -122,3 +122,15 @@ def test_cfg_score_fn_combines(sde):
         expected = (1 + w) * s_cond - w * s_uncond
         np.testing.assert_allclose(np.asarray(cf(x, t)), np.asarray(expected),
                                    rtol=1e-5, atol=1e-6)
+
+    # the static w=0 fast path (unconditional half elided at trace time)
+    # must be BIT-identical to the general array-weight path at w=0
+    fast = get_cf_score_fn(sde, model, params, labels, 0.0)(x, t)
+    general = get_cf_score_fn(sde, model, params, labels, jnp.zeros((4,)))(x, t)
+    assert jnp.array_equal(fast, general)
+    # and its jaxpr must contain exactly ONE model-sized batch (no concat
+    # doubling): the traced forward sees batch 4, not 8
+    import jax as _jax
+    jaxpr = _jax.make_jaxpr(
+        get_cf_score_fn(sde, model, params, labels, 0.0))(x, t)
+    assert "8,9,9" not in str(jaxpr.jaxpr.outvars[0].aval.shape)
