@@ -41,10 +41,32 @@ def main(argv=None):
     p.add_argument("--snopt_time_limit", type=float, default=500.0)
     p.add_argument("--result_folder", required=True)
     p.add_argument("--save_infeasible", action="store_true")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pydylan", "tpu", "native", "jax"],
+                   help="oracle backend; 'tpu' solves the whole seed range "
+                        "as batched LM on the accelerator")
+    p.add_argument("--batch_tile", type=int, default=4096,
+                   help="TPU backend: samples per compiled refinement tile")
+    p.add_argument("--max_iters", type=int, default=30,
+                   help="tpu/native backends: LM iteration budget per sample")
     args = p.parse_args(argv)
 
     from rdm_tpu.datagen import CR3BPInitGenerator
+    from rdm_tpu.physics import oracle as oracle_lib
     from rdm_tpu.physics.oracle import CR3BPEarthMissionWarmstartSimulatorBoundary
+
+    backend = args.backend
+    if backend == "auto":
+        if oracle_lib.PYDYLAN_AVAILABLE:
+            backend = "pydylan"
+        else:
+            try:
+                import jax
+                backend = "tpu" if jax.default_backend() != "cpu" else "native"
+            except Exception:
+                backend = "native"
+            if backend == "native" and not oracle_lib.native_available():
+                backend = "jax"
 
     os.makedirs(args.result_folder, exist_ok=True)
     gen = CR3BPInitGenerator(
@@ -63,7 +85,12 @@ def main(argv=None):
         min_mass_to_sample=args.min_mass_to_sample,
         max_mass_to_sample=args.max_mass_to_sample,
         snopt_time_limit=args.snopt_time_limit,
-        result_folder=args.result_folder)
+        result_folder=args.result_folder, backend=backend)
+
+    if (backend in ("tpu", "native")
+            and args.initial_guess_sample_mode == "uniform_sample"):
+        _run_batched(args, gen, backend)
+        return
 
     n_feasible = 0
     for seed in range(args.seed, args.seed + args.seed_step):
@@ -78,6 +105,8 @@ def main(argv=None):
                                   halo_energy=halo_energy)
             # match the solver's control layout expected downstream
             if result["feasibility"] or args.save_infeasible:
+                if backend != "pydylan":
+                    _period_to_tu(result, halo_energy)
                 tag = "feasible" if result["feasibility"] else "infeasible"
                 path = os.path.join(
                     args.result_folder,
@@ -88,6 +117,83 @@ def main(argv=None):
                     n_feasible += 1
         print(f"seed {seed}: feasible so far {n_feasible}")
     print(f"done: {n_feasible} feasible solutions in {args.result_folder}")
+
+
+def _period_to_tu(result, halo_energy):
+    """The native/TPU/JAX solvers never touch the halo-period slot, so it
+    stays NORMALISED (the uniform generator draws it in [0, 1]).  SNOPT's
+    control state carries it in TU (the reference multiplies the guess by
+    ``halo.orbit_period`` before injection, ``cr3bp_...warmstart.py:165``,
+    and ``prepare_training_data.py:92`` divides it back out).  Convert so
+    downstream normalisation round-trips identically for every backend."""
+    from rdm_tpu.datagen import get_halo_period
+    control = result["results.control"].copy()
+    control[-2] = control[-2] * get_halo_period(float(halo_energy))
+    result["results.control"] = control
+
+
+def _run_batched(args, gen, backend):
+    """Solve the whole seed range as one (tiled) batch — the TPU-native
+    replacement for the reference's 28-way SLURM srun fan-out
+    (``run/data_generation/fixed/*.slurm``)."""
+    import time
+
+    import numpy as np
+
+    t0 = time.time()
+    guesses, energies, seeds = [], [], []
+    for seed in range(args.seed, args.seed + args.seed_step):
+        halo_energy, gl = gen.get_earth_initial_guess(
+            seed, args.number_of_segments, args.maximum_shooting_time,
+            args.minimum_shooting_time)
+        if args.alpha is not None:
+            halo_energy = 0.008 + args.alpha * (0.095 - 0.008)
+        for g in gl:
+            guesses.append(g)
+            energies.append(halo_energy)
+            seeds.append(seed)
+    G = np.stack(guesses)
+    H = np.asarray(energies)
+
+    if backend == "tpu":
+        from rdm_tpu.physics.solver_tpu import refine_warmstarts_tpu
+        res = refine_warmstarts_tpu(
+            G, H, thrust=args.thrust, n_segments=args.number_of_segments,
+            start_bdry=args.start_bdry, max_iters=args.max_iters,
+            max_shoot=args.maximum_shooting_time,
+            batch_tile=args.batch_tile)
+    else:
+        from rdm_tpu.physics.oracle import evaluate_warmstarts_native
+        res = evaluate_warmstarts_native(
+            G, H, thrust=args.thrust, n_segments=args.number_of_segments,
+            start_bdry=args.start_bdry, max_iters=args.max_iters,
+            max_shoot=args.maximum_shooting_time)
+    per_sample = (time.time() - t0) / len(G)
+
+    n_feasible = 0
+    for i in range(len(G)):
+        feasible = bool(res["feasible"][i])
+        if not feasible and not args.save_infeasible:
+            continue
+        result = {
+            "results.control": res["refined"][i],
+            "feasibility": feasible,
+            "snopt_control_evaluations": int(res["iters"][i]) * 13,
+            "snopt_inform": int(res["inform"][i]),
+            "thrust": args.thrust,
+            "solving_time": per_sample,
+            "cost_alpha": float(H[i]),
+        }
+        _period_to_tu(result, H[i])
+        tag = "feasible" if feasible else "infeasible"
+        path = os.path.join(
+            args.result_folder,
+            f"{tag}_cr3bp_earth_alpha_{H[i]:.4f}_seed_{seeds[i]}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump([result], f)
+        n_feasible += feasible
+    print(f"done ({backend}, batched): {n_feasible}/{len(G)} feasible in "
+          f"{args.result_folder} ({per_sample * 1e3:.1f} ms/sample)")
 
 
 if __name__ == "__main__":

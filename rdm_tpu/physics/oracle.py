@@ -93,6 +93,8 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             return self._simulate_pydylan(np.asarray(earth_initial_guess, float))
         if self.backend == "native":
             return self._simulate_native(np.asarray(earth_initial_guess, float))
+        if self.backend == "tpu":
+            return self._simulate_tpu(np.asarray(earth_initial_guess, float))
         return self._simulate_jax(np.asarray(earth_initial_guess, float))
 
     # ------------------------------------------------------------------ #
@@ -190,6 +192,32 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
         }
 
     # ------------------------------------------------------------------ #
+    # TPU-batched LM backend (rdm_tpu.physics.solver_tpu): same local-solve
+    # semantics as the native C++ backend, vmapped on the accelerator.
+    # Single-sample calls work but the batch APIs (refine_warmstarts_tpu,
+    # benchmark backend "tpu") are where the speed is.
+    def _simulate_tpu(self, guess):
+        from .solver_tpu import refine_warmstarts_tpu
+        t0 = time.time()
+        res = refine_warmstarts_tpu(
+            np.asarray(guess)[None, :], np.asarray([self.halo_energy]),
+            thrust=self.thrust, n_segments=self.number_of_segments,
+            start_bdry=self.start_bdry,
+            max_shoot=self.maximum_shooting_time)
+        solving_time = time.time() - t0
+        return {
+            "results.control": res["refined"][0],
+            "feasibility": bool(res["feasible"][0]),
+            "snopt_control_evaluations": int(res["iters"][0]) * (_N_LADDER_SHOOTS),
+            "snopt_inform": int(res["inform"][0]),
+            "thrust": self.thrust,
+            "solving_time": solving_time,
+            "cost_alpha": self.halo_energy,
+            "terminal_pos_error": float(res["pos_err"][0]),
+            "terminal_energy_error": float(res["energy_err"][0]),
+        }
+
+    # ------------------------------------------------------------------ #
     # JAX fallback backend.
     def _simulate_jax(self, guess):
         t0 = time.time()
@@ -216,6 +244,8 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
 # Batched JAX evaluation (vmap over all samples at once — the TPU-native
 # replacement for the reference's ThreadPoolExecutor SNOPT fan-out when the
 # oracle is the JAX feasibility check).
+
+_N_LADDER_SHOOTS = 13    # shoots per TPU LM iter: 5 cotangents + 8 ladder trials
 
 _POS_TOL_TIGHT = 0.08    # LU distance to L1 for "optimal-grade" arrival
 _POS_TOL_LOOSE = 0.20    # LU distance for "feasible-grade" arrival

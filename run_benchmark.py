@@ -28,7 +28,7 @@ def make_parser():
     p.add_argument("--disable_physical_validation", dest="enable_physical_validation",
                    action="store_false")
     p.add_argument("--oracle_backend", default=None,
-                   choices=[None, "pydylan", "native", "jax"])
+                   choices=[None, "pydylan", "tpu", "native", "jax"])
     p.add_argument("--max_workers", type=int, default=None)
     p.add_argument("--output_dir", default="benchmark_results")
     p.add_argument("--save_samples", action="store_true", default=True)

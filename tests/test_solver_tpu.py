@@ -1,0 +1,131 @@
+"""TPU-batched Levenberg-Marquardt warm-start refinement
+(rdm_tpu/physics/solver_tpu.py).
+
+Runs on the CPU test mesh — the solver is pure jnp, so the same program
+that vmaps over thousands of candidates on a TPU runs (slowly) here on
+tiny batches.  Parity target: the native C++ f64 LM solver
+(rdm_tpu/native), which these tests treat as ground truth for grading
+semantics.
+"""
+import numpy as np
+import pytest
+
+from rdm_tpu.physics.oracle import (evaluate_warmstarts,
+                                    evaluate_warmstarts_native,
+                                    native_available)
+from rdm_tpu.physics.solver_tpu import NVAR, refine_warmstarts_tpu
+
+
+def _uniform_guesses(n, seed=0):
+    rs = np.random.RandomState(seed)
+    he = rs.uniform(0.008, 0.095, n)
+    ts = rs.uniform(0, 40, (n, 1))
+    tc = rs.uniform(0, 15, (n, 2))
+    ctrl = np.stack([rs.uniform(0, 2 * np.pi, (n, 20)),
+                     rs.uniform(0, 2 * np.pi, (n, 20)),
+                     rs.uniform(0, 1, (n, 20))], axis=-1).reshape(n, 60)
+    tail = np.stack([rs.uniform(408, 470, n), rs.uniform(0, 1, n),
+                     rs.uniform(5, 11, n)], axis=-1)
+    return np.concatenate([ts, tc, ctrl, tail], axis=1), he
+
+
+@pytest.fixture(scope="module")
+def refined():
+    G, H = _uniform_guesses(6, seed=3)
+    res = refine_warmstarts_tpu(G, H, max_iters=6)
+    return G, H, res
+
+
+def test_result_dict_interface(refined):
+    G, H, res = refined
+    # same keys/shapes as evaluate_warmstarts_native
+    for k in ("feasible", "optimal", "inform", "pos_err", "energy_err",
+              "refined", "iters", "final_mass"):
+        assert k in res, k
+        assert len(res[k]) == len(G)
+    assert res["refined"].shape == G.shape
+    assert set(np.unique(res["inform"])) <= {1, 3, 13}
+
+
+def test_refinement_reduces_arrival_error(refined):
+    """LM steps only ever accept cost reductions, so the refined batch must
+    arrive closer to the L1 set than the raw guesses.
+
+    The accepted cost is the full 5-dim residual norm (position, weighted
+    energy, fuel-budget hinge); the hinge is reconstructed from final_mass.
+    """
+    G, H, res = refined
+    raw = evaluate_warmstarts_native(G, H, refine=False) \
+        if native_available() else None
+    if raw is None:
+        raw = evaluate_warmstarts(G, H)
+        raw_hinge = 0.0  # jax evaluator does not report final mass
+        new_hinge = 0.0
+    else:
+        raw_hinge = np.maximum(320.0 - raw["final_mass"], 0.0) / 100.0
+        new_hinge = np.maximum(320.0 - res["final_mass"], 0.0) / 100.0
+    raw_cost = np.sqrt(raw["pos_err"]**2 + (2.0 * raw["energy_err"])**2
+                       + np.square(raw_hinge))
+    new_cost = np.sqrt(res["pos_err"]**2 + (2.0 * res["energy_err"])**2
+                       + np.square(new_hinge))
+    assert np.median(new_cost) < np.median(raw_cost)
+    # f32 vs f64 re-evaluation noise allowance on the per-sample guarantee
+    assert (new_cost <= raw_cost * 1.01 + 1e-2).all()
+
+
+def test_refined_respects_bounds(refined):
+    G, H, res = refined
+    r = res["refined"]
+    assert (r[:, 0] >= 1e-3 - 1e-6).all() and (r[:, 0] <= 40.0 + 1e-6).all()
+    assert (r[:, 1:3] >= -1e-6).all() and (r[:, 1:3] <= 15.0 + 1e-6).all()
+    throttles = r[:, 3:63].reshape(len(r), 20, 3)[:, :, 2]
+    assert (throttles >= -1e-6).all() and (throttles <= 1.0 + 1e-6).all()
+    # the solver must not touch the mass/period/manifold tail
+    np.testing.assert_array_equal(r[:, NVAR:], G.astype(np.float32)[:, NVAR:])
+
+
+def test_tiled_equals_untiled():
+    G, H = _uniform_guesses(5, seed=7)
+    a = refine_warmstarts_tpu(G, H, max_iters=1, batch_tile=2)
+    b = refine_warmstarts_tpu(G, H, max_iters=1, batch_tile=64)
+    np.testing.assert_allclose(a["refined"], b["refined"], rtol=1e-5)
+    np.testing.assert_array_equal(a["feasible"], b["feasible"])
+
+
+def test_generate_data_batched_e2e(tmp_path):
+    """generate_data --backend tpu writes reference-format result pickles
+    whose halo-period slot is in TU, so prepare_training_data's division by
+    the orbit period round-trips the generator's normalised draw."""
+    import pickle
+
+    import generate_data
+    from rdm_tpu.datagen import get_halo_period
+
+    folder = tmp_path / "results"
+    generate_data.main([
+        "--seed", "0", "--seed_step", "3", "--backend", "tpu",
+        "--max_iters", "1", "--save_infeasible",
+        "--result_folder", str(folder)])
+    pkls = sorted(folder.glob("*.pkl"))
+    assert len(pkls) == 3
+    with open(pkls[0], "rb") as f:
+        result = pickle.load(f)[0]
+    assert {"results.control", "feasibility", "snopt_inform",
+            "cost_alpha", "solving_time"} <= set(result)
+    control = np.asarray(result["results.control"])
+    assert control.shape == (66,)
+    # period slot is in TU: dividing by the halo period lands in [0, 1]
+    period = get_halo_period(result["cost_alpha"])
+    assert 0.0 <= control[-2] / period <= 1.0
+
+
+@pytest.mark.skipif(not native_available(), reason="native oracle not built")
+def test_grading_mostly_agrees_with_native_f64():
+    """f32 autodiff LM vs f64 finite-difference LM: different local solvers,
+    same grading semantics — the feasible/infeasible split should agree on
+    a clear majority of uniform guesses."""
+    G, H = _uniform_guesses(12, seed=11)
+    tpu = refine_warmstarts_tpu(G, H, max_iters=6)
+    nat = evaluate_warmstarts_native(G, H, max_iters=6)
+    agree = (tpu["feasible"] == nat["feasible"]).mean()
+    assert agree >= 0.6, f"only {agree:.2f} agreement with native grading"
