@@ -49,6 +49,9 @@ def main(argv=None):
                    help="TPU backend: samples per compiled refinement tile")
     p.add_argument("--max_iters", type=int, default=30,
                    help="tpu/native backends: LM iteration budget per sample")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="TPU backend: shard refinement over this many local "
+                        "devices (0 = all)")
     args = p.parse_args(argv)
 
     from rdm_tpu.datagen import CR3BPInitGenerator
@@ -161,7 +164,7 @@ def _run_batched(args, gen, backend):
             G, H, thrust=args.thrust, n_segments=args.number_of_segments,
             start_bdry=args.start_bdry, max_iters=args.max_iters,
             max_shoot=args.maximum_shooting_time,
-            batch_tile=args.batch_tile)
+            batch_tile=args.batch_tile, n_devices=args.n_devices)
     else:
         from rdm_tpu.physics.oracle import evaluate_warmstarts_native
         res = evaluate_warmstarts_native(

@@ -164,7 +164,7 @@ def _refine_one(theta0, e_target, spiral_end, l1x, thrust, n_segments,
 
 
 def _build(thrust, n_segments, start_bdry, max_iters, tol, max_shoot,
-           max_coast):
+           max_coast, n_devices):
     spiral_end, l1x, e_l1 = _mission_constants(start_bdry)
     spiral_end = jnp.asarray(spiral_end, jnp.float32)
 
@@ -174,7 +174,19 @@ def _build(thrust, n_segments, start_bdry, max_iters, tol, max_shoot,
                                        n_segments, max_iters, tol,
                                        max_shoot, max_coast))(thetas, e_targets)
 
-    return jax.jit(batch), e_l1
+    if n_devices > 1:
+        # The solve is embarrassingly parallel over samples: shard the
+        # batch axis over a 1-D mesh and let the SPMD partitioner split the
+        # vmapped program — datagen/validation scales over a pod exactly
+        # like the training step (parallel/mesh.py).
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+        fn = jax.jit(batch, in_shardings=(sharding, sharding),
+                     out_shardings=sharding)
+    else:
+        fn = jax.jit(batch)
+    return fn, e_l1
 
 
 def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
@@ -182,7 +194,7 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
                           start_bdry: float = 6.48423370092,
                           max_iters: int = 30, tol: float = 1e-3,
                           max_shoot: float = 40.0, max_coast: float = 15.0,
-                          batch_tile: int = 4096):
+                          batch_tile: int = 4096, n_devices: int = 1):
     """Refine + grade [N, 66] warm starts entirely on the accelerator.
 
     Drop-in twin of :func:`rdm_tpu.physics.oracle.evaluate_warmstarts_native`
@@ -190,9 +202,20 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     program instead of a host thread pool.  Batches larger than
     ``batch_tile`` run in fixed-shape tiles (the last tile is padded) so
     arbitrary N reuses one compiled executable and bounded memory.
+
+    ``n_devices`` > 1 shards each tile over that many devices of the
+    default backend (0 = all of them, 1 = single-device default); the
+    vmapped solve is embarrassingly parallel, so multi-chip scaling is a
+    batch-axis sharding annotation.
     """
+    if n_devices == 0:
+        n_devices = jax.local_device_count()
+    n_devices = max(1, min(n_devices, jax.local_device_count()))
+    if batch_tile % n_devices:
+        batch_tile += n_devices - batch_tile % n_devices
     key = (float(thrust), int(n_segments), round(start_bdry, 6),
-           int(max_iters), float(tol), float(max_shoot), float(max_coast))
+           int(max_iters), float(tol), float(max_shoot), float(max_coast),
+           int(n_devices))
     if key not in _CACHE:
         _CACHE[key] = _build(*key)
     fn, e_l1 = _CACHE[key]
@@ -201,6 +224,13 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     n = len(guesses)
     thetas_np = guesses[:, :NVAR]
     e_np = e_l1 + np.asarray(halo_energies, np.float32)
+
+    if n <= batch_tile and n % n_devices:
+        # pad just to the device count so the direct call shards evenly
+        pad = n_devices - n % n_devices
+        thetas_np = np.concatenate([thetas_np,
+                                    np.repeat(thetas_np[-1:], pad, 0)])
+        e_np = np.concatenate([e_np, np.repeat(e_np[-1:], pad)])
 
     if n > batch_tile:
         outs = []
@@ -216,8 +246,9 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
         theta, pos_err, energy_err, final_mass, iters = (
             np.concatenate(cols) for cols in zip(*outs))
     else:
-        theta, pos_err, energy_err, final_mass, iters = fn(
-            jnp.asarray(thetas_np), jnp.asarray(e_np))
+        theta, pos_err, energy_err, final_mass, iters = (
+            np.asarray(o)[:n] for o in fn(jnp.asarray(thetas_np),
+                                          jnp.asarray(e_np)))
     refined = guesses.copy()
     refined[:, :NVAR] = np.asarray(theta, np.float64)
     pos_err = np.asarray(pos_err, np.float64)

@@ -92,6 +92,19 @@ def test_tiled_equals_untiled():
     np.testing.assert_array_equal(a["feasible"], b["feasible"])
 
 
+def test_sharded_matches_single_device():
+    """n_devices=8 on the virtual CPU mesh: batch-axis sharding must not
+    change any per-sample result (the solve has no cross-sample ops)."""
+    import jax
+    assert jax.local_device_count() >= 8
+    G, H = _uniform_guesses(12, seed=5)   # 12 % 8 != 0: exercises padding
+    single = refine_warmstarts_tpu(G, H, max_iters=1)
+    sharded = refine_warmstarts_tpu(G, H, max_iters=1, n_devices=8)
+    np.testing.assert_allclose(sharded["refined"], single["refined"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(sharded["feasible"], single["feasible"])
+
+
 def test_generate_data_batched_e2e(tmp_path):
     """generate_data --backend tpu writes reference-format result pickles
     whose halo-period slot is in TU, so prepare_training_data's division by
