@@ -92,8 +92,12 @@ class GTOHaloBenchmarker:
         class_labels_normalized = samples[:, 0]
         out = samples[:, 1:].astype(np.float64)
 
-        # de-standardise with the training global mean/std
-        out = out * GTO_STD + GTO_MEAN
+        # de-standardise with the mean/std the run was trained with
+        # (recorded in its config snapshot; reference constants by default)
+        lm = getattr(self, "lm", None)
+        data_cfg = lm.cfg.data if lm is not None else {}
+        out = (out * data_cfg.get("gto_std", GTO_STD)
+               + data_cfg.get("gto_mean", GTO_MEAN))
 
         # times
         out[:, 0] = out[:, 0] * (MAX_SHOOTING_TIME - MIN_SHOOTING_TIME) + MIN_SHOOTING_TIME

@@ -40,20 +40,34 @@ def make_synthetic_gto_pkl(path: str, n: int = 1024, seed: int = 0) -> str:
 
 
 class GTOHaloImageDataset:
-    """Vectorised equivalent of reference ``datasets.py:82-98``."""
+    """Vectorised equivalent of reference ``datasets.py:82-98``.
 
-    def __init__(self, pkl_path: str):
+    ``mean``/``std`` default to the reference's hardcoded global constants.
+    NOTE the reference pipeline is self-inconsistent here: the rows are
+    already normalised to [0, 1] (the reflected SDE's domain), yet it
+    standardises them to ~[-2.6, 3.0] — outside the cube — so training
+    folds the data through ``reflect`` and the benchmark's
+    de-standardisation squeezes every sampled variable into
+    [0.4652, 0.6463] (~18% of its physical range).  ``mean=0, std=1``
+    disables that and runs the reflected diffusion as designed; the
+    constants are recorded in the run config so evaluation inverts with
+    the same values either way.
+    """
+
+    def __init__(self, pkl_path: str, mean: float = GTO_MEAN,
+                 std: float = GTO_STD):
         with open(pkl_path, "rb") as f:
             data = pickle.load(f)
         data = np.asarray(data, dtype=np.float32)
         if data.ndim != 2 or data.shape[1] > 81:
             raise ValueError(f"expected [N, <=81] trajectory vectors, got {data.shape}")
         self.raw = data
+        self.mean, self.std = float(mean), float(std)
         n, d = data.shape
         self.labels = data[:, :1].copy()  # first value as label
         padded = np.zeros((n, 81), np.float32)
         padded[:, :d] = data
-        padded = (padded - GTO_MEAN) / GTO_STD
+        padded = (padded - self.mean) / self.std
         self.images = padded.reshape(n, 9, 9, 1)  # NHWC
 
     def __len__(self):
@@ -160,7 +174,9 @@ def load_arrays(config, evaluation: bool = False):
     """Load the full dataset as (images, labels) numpy arrays."""
     name = config.data.dataset
     if name == "GTOHaloImage":
-        ds = GTOHaloImageDataset(config.data.pkl_path)
+        ds = GTOHaloImageDataset(config.data.pkl_path,
+                                 mean=config.data.get("gto_mean", GTO_MEAN),
+                                 std=config.data.get("gto_std", GTO_STD))
         images, labels = ds.images, ds.labels
     elif name == "GTOHalo":
         ds = GTOHaloTrajectoryDataset(config.data.pkl_path)
