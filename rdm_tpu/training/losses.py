@@ -90,6 +90,37 @@ def get_loss_fn(sde, model, train: bool, reduce_mean: bool = True,
     return loss_fn
 
 
+def _guarded_update(state: TrainState, loss, grads, tx):
+    """optax update + EMA, SKIPPED entirely when the loss or any gradient
+    is non-finite: the parameters, optimiser state, and EMA carry over
+    unchanged and only the step counter advances.
+
+    The reference merely *warns* on NaN losses/grads (per-parameter hooks,
+    ``losses.py:95-104``) and lets the update through — one bad batch then
+    poisons the parameters for the rest of the run (observed once in ~30k
+    bf16 steps).  Skipping is the production-grade behaviour and is free:
+    a ``jnp.where`` select on the update trees, no host sync.
+    """
+    finite = jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        finite &= jnp.all(jnp.isfinite(leaf))
+
+    safe_grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+    updates, opt_state = tx.update(safe_grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    params = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old), params, state.params)
+    opt_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old),
+        opt_state, state.opt_state)
+    ema = ema_lib.update(state.ema, params)
+    ema = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old), ema, state.ema)
+    return TrainState(step=state.step + 1, params=params,
+                      opt_state=opt_state, ema=ema)
+
+
 def make_train_step(sde, model, tx, reduce_mean=False, likelihood_weighting=False):
     """One fused training step: value_and_grad -> optax update -> EMA.
     jit (optionally with shardings) is applied by the caller."""
@@ -98,12 +129,7 @@ def make_train_step(sde, model, tx, reduce_mean=False, likelihood_weighting=Fals
 
     def step_fn(state: TrainState, batch, class_labels, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, class_labels, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = ema_lib.update(state.ema, params)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, ema=ema)
-        return new_state, loss
+        return _guarded_update(state, loss, grads, tx), loss
 
     return step_fn
 
@@ -135,11 +161,7 @@ def make_train_step_on_device(sde, model, tx, use_labels: bool,
         class_labels = jnp.take(labels, idx, axis=0) if use_labels else None
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
                                                   class_labels, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = ema_lib.update(state.ema, params)
-        return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state, ema=ema), loss
+        return _guarded_update(state, loss, grads, tx), loss
 
     if batch_size is None:
         return _body

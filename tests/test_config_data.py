@@ -56,6 +56,16 @@ def test_gto_dataset_preprocessing(tmp_path):
     np.testing.assert_allclose(flat[67:], 0.0, atol=1e-5)
 
 
+def test_gto_dataset_identity_standardisation(tmp_path):
+    """data.gto_mean=0 / gto_std=1: images ARE the [0,1] rows (the
+    reflected SDE's domain) — no fold, no squeeze on de-standardisation."""
+    pkl = make_synthetic_gto_pkl(str(tmp_path / "train.pkl"), n=16, seed=5)
+    ds = GTOHaloImageDataset(pkl, mean=0.0, std=1.0)
+    img, _ = ds[3]
+    np.testing.assert_allclose(img.reshape(81)[:67], ds.raw[3], rtol=1e-6)
+    assert (img >= 0).all() and (img <= 1).all()
+
+
 def test_get_dataset_iterators(tmp_path):
     pkl = make_synthetic_gto_pkl(str(tmp_path / "train.pkl"), n=256, seed=4)
     cfg = load_config("train", overrides=[

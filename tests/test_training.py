@@ -71,6 +71,45 @@ def test_train_step_updates_and_overfits(setup):
     assert np.mean(losses[-15:]) < np.mean(losses[:15])
 
 
+def test_nonfinite_batch_skips_update(setup):
+    """A NaN batch must not poison the parameters: the guarded step keeps
+    params/opt_state/EMA unchanged and only advances the step counter
+    (the reference merely warns and lets the update through)."""
+    cfg, sde, model, tx, state = setup
+    step_fn = jax.jit(make_train_step(sde, model, tx))
+    key = jax.random.PRNGKey(7)
+    good = jax.random.uniform(key, (16, 9, 9, 1)) * 0.9 + 0.05
+    labels = good[:, 0, 0, :]
+
+    # a few finite steps first so the warmup lr is nonzero
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, _ = step_fn(state, good, labels, k)
+
+    bad = good.at[0, 0, 0, 0].set(jnp.nan)
+    state2, loss = step_fn(state, bad, labels, key)
+    assert not np.isfinite(float(loss))
+    assert int(state2.step) == int(state.step) + 1
+    for new, old in zip(jax.tree_util.tree_leaves(state2.params),
+                        jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+    for new, old in zip(jax.tree_util.tree_leaves(state2.ema),
+                        jax.tree_util.tree_leaves(state.ema)):
+        # allclose: the f64 decay scalar of the fresh state casts to f32
+        # through the jit program even when no update happens
+        np.testing.assert_allclose(np.asarray(new, np.float32),
+                                   np.asarray(old, np.float32), rtol=1e-6)
+
+    # and a finite batch still updates
+    state3, loss = step_fn(state2, good, labels, key)
+    assert np.isfinite(float(loss))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state3.params),
+                       jax.tree_util.tree_leaves(state2.params)))
+    assert changed
+
+
 def test_warmup_scales_first_updates(setup):
     cfg, sde, model, tx, state = setup
     step_fn = jax.jit(make_train_step(sde, model, tx))
