@@ -164,13 +164,19 @@ def _run_batched(args, gen, backend):
             G, H, thrust=args.thrust, n_segments=args.number_of_segments,
             start_bdry=args.start_bdry, max_iters=args.max_iters,
             max_shoot=args.maximum_shooting_time,
+            min_shoot=args.minimum_shooting_time,
             batch_tile=args.batch_tile, n_devices=args.n_devices)
+        shoots_per_iter = 13   # 5 jacrev cotangents + 8 ladder trials
     else:
         from rdm_tpu.physics.oracle import evaluate_warmstarts_native
+        if args.minimum_shooting_time > 0:
+            print("warning: --minimum_shooting_time is not enforced by the "
+                  "native C++ clamp (lower bound ~0); use --backend tpu")
         res = evaluate_warmstarts_native(
             G, H, thrust=args.thrust, n_segments=args.number_of_segments,
             start_bdry=args.start_bdry, max_iters=args.max_iters,
             max_shoot=args.maximum_shooting_time)
+        shoots_per_iter = 64   # 63-column finite differences + trials
     per_sample = (time.time() - t0) / len(G)
 
     n_feasible = 0
@@ -181,7 +187,7 @@ def _run_batched(args, gen, backend):
         result = {
             "results.control": res["refined"][i],
             "feasibility": feasible,
-            "snopt_control_evaluations": int(res["iters"][i]) * 13,
+            "snopt_control_evaluations": int(res["iters"][i]) * shoots_per_iter,
             "snopt_inform": int(res["inform"][i]),
             "thrust": args.thrust,
             "solving_time": per_sample,

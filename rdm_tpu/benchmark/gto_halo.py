@@ -195,14 +195,30 @@ class GTOHaloBenchmarker:
             backend=backend)
 
         t0 = time.time()
-        if backend == "native":
-            # ONE batched call; the std::thread fan-out lives inside the
-            # C++ library (the native twin of the reference's
-            # ThreadPoolExecutor SNOPT fan-out).
-            res = oracle_lib.evaluate_warmstarts_native(
-                samples[:, 1:].astype(np.float64),
-                samples[:, 0].astype(np.float64),
-                n_threads=cfgb.max_workers or 0)
+        if backend in ("native", "tpu"):
+            # ONE batched LM solve of the whole batch: the std::thread
+            # fan-out inside the C++ library (the native twin of the
+            # reference's ThreadPoolExecutor SNOPT fan-out), or the same
+            # solve vmapped on the accelerator at ~100x its throughput
+            # (rdm_tpu/physics/solver_tpu.py).
+            if backend == "native":
+                res = oracle_lib.evaluate_warmstarts_native(
+                    samples[:, 1:].astype(np.float64),
+                    samples[:, 0].astype(np.float64),
+                    n_threads=cfgb.max_workers or 0)
+                note = ("C++ Levenberg-Marquardt local solve of each warm "
+                        "start (pydylan/SNOPT unavailable); feasible = the "
+                        "local solver converged from the sample")
+            else:
+                from rdm_tpu.physics.solver_tpu import refine_warmstarts_tpu
+                res = refine_warmstarts_tpu(
+                    samples[:, 1:].astype(np.float32),
+                    samples[:, 0].astype(np.float32))
+                note = ("TPU-batched Levenberg-Marquardt local solve of each "
+                        "warm start (pydylan/SNOPT unavailable); feasible = "
+                        "the local solver converged from the sample")
+            # wall time over the batch; for the TPU backend the first call
+            # also pays one-time XLA compilation (flagged below)
             per_sample_time = (time.time() - t0) / max(len(samples), 1)
             results = [{
                 "results.control": res["refined"][i],
@@ -211,37 +227,14 @@ class GTOHaloBenchmarker:
                 "thrust": 1.0,
                 "solving_time": per_sample_time,
                 "cost_alpha": float(samples[i, 0]),
+                # the solver's propagated terminal mass — the honest twin of
+                # SNOPT's solved control[-3]; the sampled mass slot in
+                # results.control is a decision variable, not a result
+                "final_mass": float(res["final_mass"][i]),
             } for i in range(len(samples))]
-            extra = {"oracle_backend": "native",
-                     "oracle_note": ("C++ Levenberg-Marquardt local solve of "
-                                     "each warm start (pydylan/SNOPT "
-                                     "unavailable); feasible = the local "
-                                     "solver converged from the sample"),
-                     "mean_refine_iters": float(np.mean(res["iters"])),
-                     "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
-                     "mean_terminal_energy_error": float(np.mean(res["energy_err"]))}
-        elif backend == "tpu":
-            # ONE vmapped LM solve of the whole batch on the accelerator
-            # (rdm_tpu/physics/solver_tpu.py) — same warm-start-convergence
-            # semantics as the native C++ backend, ~100x its throughput.
-            from rdm_tpu.physics.solver_tpu import refine_warmstarts_tpu
-            res = refine_warmstarts_tpu(
-                samples[:, 1:].astype(np.float32),
-                samples[:, 0].astype(np.float32))
-            per_sample_time = (time.time() - t0) / max(len(samples), 1)
-            results = [{
-                "results.control": res["refined"][i],
-                "feasibility": bool(res["feasible"][i]),
-                "snopt_inform": int(res["inform"][i]),
-                "thrust": 1.0,
-                "solving_time": per_sample_time,
-                "cost_alpha": float(samples[i, 0]),
-            } for i in range(len(samples))]
-            extra = {"oracle_backend": "tpu",
-                     "oracle_note": ("TPU-batched Levenberg-Marquardt local "
-                                     "solve of each warm start (pydylan/SNOPT "
-                                     "unavailable); feasible = the local "
-                                     "solver converged from the sample"),
+            extra = {"oracle_backend": backend,
+                     "oracle_note": note,
+                     "oracle_wall_time_includes_compile": backend == "tpu",
                      "mean_refine_iters": float(np.mean(res["iters"])),
                      "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
                      "mean_terminal_energy_error": float(np.mean(res["energy_err"]))}
@@ -322,8 +315,13 @@ class GTOHaloBenchmarker:
         optimal = [r for r in results if r["feasibility"] and r.get("snopt_inform") == 1]
 
         def final_mass(rs):
-            vals = [r["results.control"][-3] for r in rs
-                    if r.get("results.control") is not None]
+            # prefer the solver-reported terminal mass (native/tpu backends
+            # attach it); fall back to control[-3], which IS the solved
+            # final mass for pydylan/SNOPT (print_statistics parity)
+            vals = [r["final_mass"] if r.get("final_mass") is not None
+                    else r["results.control"][-3] for r in rs
+                    if r.get("final_mass") is not None
+                    or r.get("results.control") is not None]
             return float(np.mean(vals)) if vals else 0.0
 
         informs = [r["snopt_inform"] for r in results if r.get("snopt_inform") is not None]

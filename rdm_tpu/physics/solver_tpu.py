@@ -55,9 +55,10 @@ _SEG_STEPS = 16
 _CACHE = {}
 
 
-def _clamp_vars(theta, n_segments, max_shoot, max_coast):
-    """cr3bp_native.cpp:clamp_vars on the 63-vector."""
-    t_shoot = jnp.clip(theta[0], 1e-3, max_shoot)
+def _clamp_vars(theta, n_segments, max_shoot, max_coast, min_shoot=0.0):
+    """cr3bp_native.cpp:clamp_vars on the 63-vector (plus the optional
+    minimum shooting time the C++ clamp hardcodes to ~0)."""
+    t_shoot = jnp.clip(theta[0], max(1e-3, min_shoot), max_shoot)
     coasts = jnp.clip(theta[1:3], 0.0, max_coast)
     ctrl = theta[3:3 + 3 * n_segments].reshape(n_segments, 3)
     ctrl = ctrl.at[:, 2].set(jnp.clip(ctrl[:, 2], 0.0, 1.0))
@@ -107,12 +108,12 @@ def _residual(theta, e_target, spiral_end, l1x, thrust, n_segments):
 
 
 def _refine_one(theta0, e_target, spiral_end, l1x, thrust, n_segments,
-                max_iters, tol, max_shoot, max_coast):
+                max_iters, tol, max_shoot, max_coast, min_shoot=0.0):
     """LM refinement of one sample; vmapped by the caller."""
     res = lambda th: _residual(th, e_target, spiral_end, l1x, thrust,
                                n_segments)[0]
 
-    theta0 = _clamp_vars(theta0, n_segments, max_shoot, max_coast)
+    theta0 = _clamp_vars(theta0, n_segments, max_shoot, max_coast, min_shoot)
     r0 = res(theta0)
     cost0 = jnp.linalg.norm(r0)
 
@@ -133,7 +134,7 @@ def _refine_one(theta0, e_target, spiral_end, l1x, thrust, n_segments,
         d = (a[..., 0] @ J)                             # (_N_LAMBDA, NVAR)
         trials = jax.vmap(
             lambda dd: _clamp_vars(theta + dd, n_segments, max_shoot,
-                                   max_coast))(d)
+                                   max_coast, min_shoot))(d)
         r_t = jax.vmap(res)(trials)                     # (_N_LAMBDA, NRES)
         cost_t = jnp.linalg.norm(r_t, axis=-1)
         cost_t = jnp.where(jnp.isfinite(cost_t), cost_t, jnp.inf)
@@ -164,7 +165,7 @@ def _refine_one(theta0, e_target, spiral_end, l1x, thrust, n_segments,
 
 
 def _build(thrust, n_segments, start_bdry, max_iters, tol, max_shoot,
-           max_coast, n_devices):
+           max_coast, n_devices, min_shoot):
     spiral_end, l1x, e_l1 = _mission_constants(start_bdry)
     spiral_end = jnp.asarray(spiral_end, jnp.float32)
 
@@ -172,7 +173,8 @@ def _build(thrust, n_segments, start_bdry, max_iters, tol, max_shoot,
         return jax.vmap(
             lambda th, et: _refine_one(th, et, spiral_end, l1x, thrust,
                                        n_segments, max_iters, tol,
-                                       max_shoot, max_coast))(thetas, e_targets)
+                                       max_shoot, max_coast,
+                                       min_shoot))(thetas, e_targets)
 
     if n_devices > 1:
         # The solve is embarrassingly parallel over samples: shard the
@@ -194,7 +196,8 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
                           start_bdry: float = 6.48423370092,
                           max_iters: int = 30, tol: float = 1e-3,
                           max_shoot: float = 40.0, max_coast: float = 15.0,
-                          batch_tile: int = 4096, n_devices: int = 1):
+                          batch_tile: int = 4096, n_devices: int = 1,
+                          min_shoot: float = 0.0):
     """Refine + grade [N, 66] warm starts entirely on the accelerator.
 
     Drop-in twin of :func:`rdm_tpu.physics.oracle.evaluate_warmstarts_native`
@@ -215,7 +218,7 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
         batch_tile += n_devices - batch_tile % n_devices
     key = (float(thrust), int(n_segments), round(start_bdry, 6),
            int(max_iters), float(tol), float(max_shoot), float(max_coast),
-           int(n_devices))
+           int(n_devices), float(min_shoot))
     if key not in _CACHE:
         _CACHE[key] = _build(*key)
     fn, e_l1 = _CACHE[key]
@@ -249,7 +252,8 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
         theta, pos_err, energy_err, final_mass, iters = (
             np.asarray(o)[:n] for o in fn(jnp.asarray(thetas_np),
                                           jnp.asarray(e_np)))
-    refined = guesses.copy()
+    # float64 like the native oracle's result dict (the solve itself is f32)
+    refined = guesses.astype(np.float64)
     refined[:, :NVAR] = np.asarray(theta, np.float64)
     pos_err = np.asarray(pos_err, np.float64)
     energy_err = np.asarray(energy_err, np.float64)
