@@ -25,6 +25,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__SSE2__) || defined(__x86_64__)
+#include <xmmintrin.h>
+#endif
+
 namespace {
 
 constexpr double MU_EARTH = 398600.435507;  // km^3/s^2
@@ -282,13 +286,33 @@ int refine_one(double* guess, int n_segments, double thrust_n,
   return it;
 }
 
+// Pin a defined FP environment for the duration of a batch call.  The
+// embedding process may have FTZ/DAZ set on the calling thread (XLA's CPU
+// runtime enables both), which flushes the ~1e-300-scale pivots of the LM
+// normal-equation solve to zero and changes refinement trajectories —
+// results must not depend on who called us last.  New std::threads inherit
+// the creator's MXCSR, so the guard is applied per executing thread.
+#if defined(__SSE2__) || defined(__x86_64__)
+struct FpEnvGuard {
+  unsigned int saved;
+  FpEnvGuard() : saved(_mm_getcsr()) {
+    _mm_setcsr(saved & ~0x8040u);  // clear FTZ (bit 15) and DAZ (bit 6)
+  }
+  ~FpEnvGuard() { _mm_setcsr(saved); }
+};
+#else
+struct FpEnvGuard {};
+#endif
+
 void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
   if (n_threads <= 1 || n <= 1) {
+    FpEnvGuard fp;
     for (int i = 0; i < n; ++i) fn(i);
     return;
   }
   std::atomic<int> next{0};
   auto worker = [&]() {
+    FpEnvGuard fp;
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
   };
   unsigned hw = std::thread::hardware_concurrency();

@@ -146,6 +146,23 @@ def propagate(aug_state, u_dir, throttle, thrust_n, tof, n_steps: int = 64,
     return out
 
 
+# The default mission's spiral endpoint, pinned to a fixed constant.
+# solve_ivp's ADAPTIVE step control is sensitive to the ambient FP
+# environment: XLA's CPU runtime sets FTZ/DAZ on the calling thread, its
+# error estimates are tiny differences of large numbers, and the step
+# acceptance decisions bifurcate — the same call returns values differing
+# by ~1e-7 depending on whether a jitted program ran first in the process.
+# Every oracle/solver seeds from this state, so that jitter propagated
+# into order-dependent feasibility grading. Value computed in a clean FP
+# environment (rtol 1e-10 DOP853), f32-rounded like the function returns.
+_SPIRAL_END_PINNED = {
+    (6.48423370092, 1.0, 700.0, 300.0): np.array(
+        [-0.32054030895233154, -0.400390088558197, -0.14529898762702942,
+         0.7512170076370239, -0.3711310923099518, -0.1562405228614807,
+         751.9212646484375], np.float64),
+}
+
+
 def spiral_to_boundary(start_bdry: float, thrust_n: float = 1.0,
                        fuel_mass: float = 700.0, dry_mass: float = 300.0):
     """Stand-in for ``pydylan.phases.lowthrust_spiral`` evaluated for
@@ -156,7 +173,15 @@ def spiral_to_boundary(start_bdry: float, thrust_n: float = 1.0,
     Computed ONCE per configuration on the host with an adaptive f64
     integrator: the GTO perigee passes (minutes-scale dynamics, 0.017 LU)
     are far too stiff for the fixed-step f32 segment propagator used for
-    the batched shooting arcs."""
+    the batched shooting arcs.  The default mission uses a pinned
+    constant (see ``_SPIRAL_END_PINNED``) so results cannot depend on the
+    caller's FP environment."""
+    pinned = _SPIRAL_END_PINNED.get(
+        (float(start_bdry), float(thrust_n), float(fuel_mass),
+         float(dry_mass)))
+    if pinned is not None:
+        return jnp.asarray(pinned, jnp.float32)
+
     from scipy.integrate import solve_ivp
 
     mu = CR3BP_MU

@@ -329,8 +329,13 @@ _NATIVE_CONST_CACHE = {}
 
 
 def _mission_constants(start_bdry: float):
-    """(spiral_end f64[7], l1x, e_l1), cached per boundary time."""
-    key = round(start_bdry, 6)
+    """(spiral_end f64[7], l1x, e_l1), cached per boundary time.
+
+    Keyed by the EXACT boundary value: a rounded key would alias two
+    different ``start_bdry`` inputs to one cache slot, making the cached
+    spiral endpoint depend on which caller primed the cache (observed as
+    order-dependent solver results before the key was exact)."""
+    key = float(start_bdry)
     if key not in _NATIVE_CONST_CACHE:
         from . import cr3bp as dyn
         spiral_end = np.asarray(dyn.spiral_to_boundary(start_bdry, thrust_n=1.0),

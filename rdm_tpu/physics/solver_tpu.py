@@ -216,7 +216,9 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     n_devices = max(1, min(n_devices, jax.local_device_count()))
     if batch_tile % n_devices:
         batch_tile += n_devices - batch_tile % n_devices
-    key = (float(thrust), int(n_segments), round(start_bdry, 6),
+    # exact start_bdry: rounding would feed _mission_constants a DIFFERENT
+    # boundary value than other callers while sharing their cache slot
+    key = (float(thrust), int(n_segments), float(start_bdry),
            int(max_iters), float(tol), float(max_shoot), float(max_coast),
            int(n_devices), float(min_shoot))
     if key not in _CACHE:

@@ -65,6 +65,22 @@ def test_spiral_end_reasonable():
     assert -2.5 < e < -1.0
 
 
+def test_spiral_end_pin_matches_fresh_integration():
+    """The default mission's spiral endpoint is pinned (the adaptive
+    integrator's step control is FP-environment sensitive at ~1e-7, which
+    made solver results depend on call order); the pin must stay within
+    integrator jitter of a fresh scipy solve."""
+    key = (6.48423370092, 1.0, 700.0, 300.0)
+    pinned = cr3bp._SPIRAL_END_PINNED[key]
+    live = cr3bp._SPIRAL_END_PINNED
+    try:
+        cr3bp._SPIRAL_END_PINNED = {}
+        fresh = np.asarray(cr3bp.spiral_to_boundary(*key[:2]), np.float64)
+    finally:
+        cr3bp._SPIRAL_END_PINNED = live
+    np.testing.assert_allclose(fresh, pinned, rtol=2e-5, atol=2e-5)
+
+
 def test_oracle_interface_and_discrimination():
     """Random-junk warm starts must score (far) worse than a crafted
     near-target state; the oracle dict carries the reference keys."""

@@ -47,34 +47,33 @@ def test_result_dict_interface(refined):
     assert set(np.unique(res["inform"])) <= {1, 3, 13}
 
 
-def test_refinement_reduces_arrival_error(refined):
-    """LM steps only ever accept cost reductions, so the refined batch must
-    arrive closer to the L1 set than the raw guesses.
+def _cost(res):
+    """Full 5-dim residual norm (position, weighted energy, fuel hinge);
+    the hinge is reconstructed from the reported final mass."""
+    hinge = np.maximum(320.0 - res["final_mass"], 0.0) / 100.0
+    return np.sqrt(res["pos_err"]**2 + (2.0 * res["energy_err"])**2
+                   + np.square(hinge))
 
-    The accepted cost is the full 5-dim residual norm (position, weighted
-    energy, fuel-budget hinge); the hinge is reconstructed from final_mass.
+
+def test_refinement_reduces_arrival_error(refined):
+    """LM steps only ever accept cost reductions.
+
+    The per-sample guarantee is asserted WITHIN the f32 solver
+    (max_iters=0 evaluates the clamped raw guess with the same
+    propagator): cross-checking per-sample against the f64 native
+    evaluation is not stable — the CR3BP shoot is chaotic enough that
+    FP-environment differences (XLA sets FTZ/DAZ on the calling thread)
+    shift marginal lanes by more than any fixed tolerance.  The
+    cross-solver comparison is kept as a median (aggregate) property.
     """
     G, H, res = refined
-    raw = evaluate_warmstarts_native(G, H, refine=False) \
-        if native_available() else None
-    if raw is None:
-        raw = evaluate_warmstarts(G, H)
-        raw_hinge = 0.0  # jax evaluator does not report final mass
-        new_hinge = 0.0
-    else:
-        raw_hinge = np.maximum(320.0 - raw["final_mass"], 0.0) / 100.0
-        new_hinge = np.maximum(320.0 - res["final_mass"], 0.0) / 100.0
-    raw_cost = np.sqrt(raw["pos_err"]**2 + (2.0 * raw["energy_err"])**2
-                       + np.square(raw_hinge))
-    new_cost = np.sqrt(res["pos_err"]**2 + (2.0 * res["energy_err"])**2
-                       + np.square(new_hinge))
+    raw = refine_warmstarts_tpu(G, H, max_iters=0)
+    raw_cost, new_cost = _cost(raw), _cost(res)
+    assert (new_cost <= raw_cost * 1.001 + 1e-3).all()
     assert np.median(new_cost) < np.median(raw_cost)
-    # Per-sample guarantee only where both evaluations are sane: lanes that
-    # diverge carry the 1e6 sentinel, and comparing the f32 solver's
-    # re-evaluation against the f64 oracle's sentinel is meaningless noise.
-    sane = (raw_cost < 1e5) & (new_cost < 1e5)
-    assert sane.any()
-    assert (new_cost[sane] <= raw_cost[sane] * 1.01 + 1e-2).all()
+    if native_available():
+        raw_f64 = evaluate_warmstarts_native(G, H, refine=False)
+        assert np.median(new_cost) < np.median(_cost(raw_f64))
 
 
 def test_refined_respects_bounds(refined):
