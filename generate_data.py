@@ -35,7 +35,9 @@ def main(argv=None):
     p.add_argument("--start_bdry", type=float, default=6.48423370092)
     p.add_argument("--end_bdry", type=float, default=8.0)
     p.add_argument("--thrust", type=float, default=1.0)
-    p.add_argument("--solver_mode", default=0)
+    p.add_argument("--solver_mode", default="optimal",
+                   choices=["feasible", "optimal"],
+                   help="reference fixed_alpha.py default: optimal")
     p.add_argument("--min_mass_to_sample", type=float, default=408)
     p.add_argument("--max_mass_to_sample", type=float, default=470)
     p.add_argument("--snopt_time_limit", type=float, default=500.0)
@@ -123,11 +125,12 @@ def main(argv=None):
 
 
 def _period_to_tu(result, halo_energy):
-    """The native/TPU/JAX solvers never touch the halo-period slot, so it
-    stays NORMALISED (the uniform generator draws it in [0, 1]).  SNOPT's
-    control state carries it in TU (the reference multiplies the guess by
-    ``halo.orbit_period`` before injection, ``cr3bp_...warmstart.py:165``,
-    and ``prepare_training_data.py:92`` divides it back out).  Convert so
+    """The native/TPU/JAX solvers refine the halo-period slot as the
+    NORMALISED orbit-phase fraction in [0, 1] (it parametrises the
+    manifold boundary condition directly).  SNOPT's control state carries
+    it in TU (the reference multiplies the guess by ``halo.orbit_period``
+    before injection, ``cr3bp_...warmstart.py:165``, and
+    ``prepare_training_data.py:92`` divides it back out).  Convert so
     downstream normalisation round-trips identically for every backend."""
     from rdm_tpu.datagen import get_halo_period
     control = result["results.control"].copy()
@@ -165,18 +168,18 @@ def _run_batched(args, gen, backend):
             start_bdry=args.start_bdry, max_iters=args.max_iters,
             max_shoot=args.maximum_shooting_time,
             min_shoot=args.minimum_shooting_time,
-            batch_tile=args.batch_tile, n_devices=args.n_devices)
-        shoots_per_iter = 13   # 5 jacrev cotangents + 8 ladder trials
+            batch_tile=args.batch_tile, n_devices=args.n_devices,
+            solver_mode=args.solver_mode)
+        shoots_per_iter = 15   # 7 jacrev cotangents + 8 ladder trials
     else:
         from rdm_tpu.physics.oracle import evaluate_warmstarts_native
-        if args.minimum_shooting_time > 0:
-            print("warning: --minimum_shooting_time is not enforced by the "
-                  "native C++ clamp (lower bound ~0); use --backend tpu")
         res = evaluate_warmstarts_native(
             G, H, thrust=args.thrust, n_segments=args.number_of_segments,
             start_bdry=args.start_bdry, max_iters=args.max_iters,
-            max_shoot=args.maximum_shooting_time)
-        shoots_per_iter = 64   # 63-column finite differences + trials
+            max_shoot=args.maximum_shooting_time,
+            min_shoot=args.minimum_shooting_time,
+            solver_mode=args.solver_mode)
+        shoots_per_iter = 70   # 66-column finite differences + trials
     per_sample = (time.time() - t0) / len(G)
 
     n_feasible = 0

@@ -20,3 +20,34 @@ Layout (see SURVEY.md for the reference layer map this mirrors):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    The physics oracle's LM solve (solver_tpu.py) is a large autodiff
+    program whose XLA compile takes minutes; caching makes that a
+    once-per-machine cost instead of once-per-process.  Respects an
+    explicit JAX_COMPILATION_CACHE_DIR / jax.config setting if the user
+    already chose one."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "rdm_tpu", "xla_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        # cache everything that took noticeable compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is an optimisation only
+        pass
+
+
+_enable_compilation_cache()

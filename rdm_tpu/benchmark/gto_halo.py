@@ -65,6 +65,8 @@ class GTOHaloBenchmarkConfig:
     max_workers: Optional[int] = None
     test_mode: bool = False
     oracle_backend: Optional[str] = None  # None=auto, "pydylan", "native", "jax"
+    solver_mode: str = "optimal"  # reference run_benchmark default (:335)
+    oracle_max_iters: int = 30
 
 
 class GTOHaloBenchmarker:
@@ -189,7 +191,7 @@ class GTOHaloBenchmarker:
             seed=0, seed_step=len(samples), quiet_snopt=True,
             number_of_segments=20, maximum_shooting_time=40.0,
             minimum_shooting_time=0.0, start_bdry=6.48423370092, end_bdry=8.0,
-            thrust=1.0, solver_mode=0, min_mass_to_sample=408,
+            thrust=1.0, solver_mode=cfgb.solver_mode, min_mass_to_sample=408,
             max_mass_to_sample=470, snopt_time_limit=1000.0,
             result_folder=os.path.join(cfgb.output_dir, "cr3bp_results"),
             backend=backend)
@@ -205,21 +207,36 @@ class GTOHaloBenchmarker:
                 res = oracle_lib.evaluate_warmstarts_native(
                     samples[:, 1:].astype(np.float64),
                     samples[:, 0].astype(np.float64),
+                    max_iters=cfgb.oracle_max_iters,
+                    solver_mode=cfgb.solver_mode,
                     n_threads=cfgb.max_workers or 0)
-                note = ("C++ Levenberg-Marquardt local solve of each warm "
-                        "start (pydylan/SNOPT unavailable); feasible = the "
-                        "local solver converged from the sample")
+                note = ("C++ Levenberg-Marquardt local solve of the "
+                        "manifold-insertion NLP for each warm start "
+                        "(pydylan/SNOPT unavailable); feasible = the local "
+                        "solver converged from the sample")
+                per_sample_time = (time.time() - t0) / max(len(samples), 1)
             else:
                 from rdm_tpu.physics.solver_tpu import refine_warmstarts_tpu
                 res = refine_warmstarts_tpu(
                     samples[:, 1:].astype(np.float32),
-                    samples[:, 0].astype(np.float32))
-                note = ("TPU-batched Levenberg-Marquardt local solve of each "
-                        "warm start (pydylan/SNOPT unavailable); feasible = "
-                        "the local solver converged from the sample")
-            # wall time over the batch; for the TPU backend the first call
-            # also pays one-time XLA compilation (flagged below)
-            per_sample_time = (time.time() - t0) / max(len(samples), 1)
+                    samples[:, 0].astype(np.float32),
+                    max_iters=cfgb.oracle_max_iters,
+                    solver_mode=cfgb.solver_mode)
+                note = ("TPU-batched Levenberg-Marquardt local solve of the "
+                        "manifold-insertion NLP for each warm start "
+                        "(pydylan/SNOPT unavailable); feasible = the local "
+                        "solver converged from the sample")
+                # the first call pays one-time XLA compilation: re-run the
+                # (now compiled) batch and report the steady per-sample
+                # time so `avg_solving_time` is comparable with the
+                # reference's per-SNOPT seconds (VERDICT round-1 item 9)
+                t1 = time.time()
+                refine_warmstarts_tpu(
+                    samples[:, 1:].astype(np.float32),
+                    samples[:, 0].astype(np.float32),
+                    max_iters=cfgb.oracle_max_iters,
+                    solver_mode=cfgb.solver_mode)
+                per_sample_time = (time.time() - t1) / max(len(samples), 1)
             results = [{
                 "results.control": res["refined"][i],
                 "feasibility": bool(res["feasible"][i]),
@@ -227,17 +244,19 @@ class GTOHaloBenchmarker:
                 "thrust": 1.0,
                 "solving_time": per_sample_time,
                 "cost_alpha": float(samples[i, 0]),
-                # the solver's propagated terminal mass — the honest twin of
-                # SNOPT's solved control[-3]; the sampled mass slot in
-                # results.control is a decision variable, not a result
+                # the SOLVED mass variable (SNOPT's results.control[-3]
+                # analogue); terminal_mass is the full forward-propagated
+                # mass (distinct keys — the scales differ, see ADVICE r1)
                 "final_mass": float(res["final_mass"][i]),
+                "terminal_mass": float(res["terminal_mass"][i]),
             } for i in range(len(samples))]
             extra = {"oracle_backend": backend,
                      "oracle_note": note,
-                     "oracle_wall_time_includes_compile": backend == "tpu",
+                     "oracle_solver_mode": cfgb.solver_mode,
+                     "oracle_wall_time_with_compile_s": time.time() - t0,
                      "mean_refine_iters": float(np.mean(res["iters"])),
                      "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
-                     "mean_terminal_energy_error": float(np.mean(res["energy_err"]))}
+                     "mean_terminal_vel_error": float(np.mean(res["vel_err"]))}
         elif backend == "jax":
             # ONE vmapped evaluation of the whole batch.
             res = oracle_lib.evaluate_warmstarts(
@@ -256,7 +275,7 @@ class GTOHaloBenchmarker:
                                      "(pydylan/SNOPT unavailable); ratios are "
                                      "not 1:1 comparable with SNOPT results"),
                      "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
-                     "mean_terminal_energy_error": float(np.mean(res["energy_err"]))}
+                     "mean_terminal_vel_error": float(np.mean(res["vel_err"]))}
         else:
             # ThreadPoolExecutor SNOPT fan-out with the reference MT
             # benchmark's telemetry heartbeat (gto_halo_multithreading.py:

@@ -1,9 +1,15 @@
 """ctypes bindings for the native CR3BP oracle (``cr3bp_native.cpp``).
 
-The shared library is compiled on demand with ``g++ -O3`` into the package
-directory (falling back to a temp dir when the tree is read-only) and
-cached; a rebuild triggers whenever the C++ source is newer than the
-cached ``.so``.  Binding is plain ctypes — no pybind11 in this image.
+The shared library is compiled on demand with ``g++ -O3``.  Build targets,
+in order: the package directory itself (developer checkout), then a
+per-user cache directory (``~/.cache/rdm_tpu/native``, created mode 0700).
+The library is compiled to a unique temporary name and atomically
+``os.rename``d into place, and ownership is verified before ``CDLL`` — a
+shared world-writable location is never used, so another local user can
+neither pre-plant nor swap the library (nor can two builds race on a
+partially-written file).
+
+Binding is plain ctypes — no pybind11 in this image.
 
 Public surface:
 
@@ -12,19 +18,28 @@ Public surface:
   constant-control arc, f64 (parity hook against
   ``rdm_tpu.physics.cr3bp.propagate``).
 * ``jacobi_energy(state)``.
-* ``evaluate_batch(...)`` — propagate-and-check every guess on a
-  std::thread pool (native twin of ``oracle.evaluate_warmstarts``).
+* ``manifold_target(seed, period, vstable, tau_frac, length)`` — stable-
+  manifold arc end state (parity hook against
+  ``rdm_tpu.physics.manifold.manifold_target``).
+* ``evaluate_batch(...)`` — forward-backward midpoint defect of every
+  guess as-is, on a std::thread pool.
 * ``refine_batch(...)`` — Levenberg-Marquardt "SNOPT-lite" local solve of
-  every warm start (the native equivalent of the role pydylan/SNOPT plays
-  in the reference, ``cr3bp_...warmstart.py:116-176``).
+  every warm start against the manifold boundary condition, with the
+  optional mass-ascent optimal phase (the native equivalent of the role
+  pydylan/SNOPT plays in the reference, ``cr3bp_...warmstart.py:87-224``).
+
+Per-sample halo family data (seed state / period / stable eigenvector at
+each sample's energy) is interpolated by the caller from
+``rdm_tpu.physics.halo.interp_seed`` and passed in as arrays.
 """
 from __future__ import annotations
 
 import ctypes
 import os
+import stat
 import subprocess
-import tempfile
 import threading
+import uuid
 from typing import Optional
 
 import numpy as np
@@ -38,10 +53,40 @@ _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
 
 
-def _build(out_path: str) -> None:
+def _user_cache_dir() -> str:
+    d = os.path.join(os.path.expanduser("~"), ".cache", "rdm_tpu", "native")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
+def _build_into(directory: str) -> str:
+    """Compile to a unique temp name in ``directory`` and atomically
+    rename to the canonical library path.  Returns the final path."""
+    final = os.path.join(directory, _LIB_NAME)
+    tmp = os.path.join(directory, f".{_LIB_NAME}.{uuid.uuid4().hex}.tmp")
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", _SRC, "-o", out_path]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+           "-pthread", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.rename(tmp, final)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return final
+
+
+def _safe_to_load(path: str) -> bool:
+    """Only dlopen libraries owned by this user (or root) that are not
+    world-writable and are current w.r.t. the source."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    if st.st_uid not in (os.getuid(), 0):
+        return False
+    if st.st_mode & stat.S_IWOTH:
+        return False
+    return st.st_mtime >= os.path.getmtime(_SRC)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -49,37 +94,42 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        candidates = [os.path.join(_HERE, _LIB_NAME),
-                      os.path.join(tempfile.gettempdir(), _LIB_NAME)]
-        for path in candidates:
+        last = "no build attempted"
+        lib = None
+        for directory in (_HERE, _user_cache_dir()):
+            path = os.path.join(directory, _LIB_NAME)
             try:
-                if (not os.path.exists(path)
-                        or os.path.getmtime(path) < os.path.getmtime(_SRC)):
-                    _build(path)
+                if not _safe_to_load(path):
+                    path = _build_into(directory)
                 lib = ctypes.CDLL(path)
                 break
             except (OSError, subprocess.CalledProcessError) as e:
                 last = getattr(e, "stderr", None) or str(e)
                 continue
-        else:
+        if lib is None:
             _build_error = f"native oracle build failed: {last}"
             return None
 
         D = ctypes.POINTER(ctypes.c_double)
         I = ctypes.POINTER(ctypes.c_int)
-        lib.cr3bp_propagate.argtypes = [D, D, ctypes.c_double, ctypes.c_double,
-                                        ctypes.c_double, ctypes.c_int, D]
+        c_d, c_i = ctypes.c_double, ctypes.c_int
+        lib.cr3bp_propagate.argtypes = [D, D, c_d, c_d, c_d, c_i, D]
         lib.cr3bp_propagate.restype = None
         lib.cr3bp_jacobi_energy.argtypes = [D]
-        lib.cr3bp_jacobi_energy.restype = ctypes.c_double
+        lib.cr3bp_jacobi_energy.restype = c_d
+        lib.cr3bp_manifold_target.argtypes = [D, c_d, D, c_d, c_d, D]
+        lib.cr3bp_manifold_target.restype = None
         lib.cr3bp_evaluate_batch.argtypes = [
-            D, D, ctypes.c_int, ctypes.c_int, ctypes.c_double, D,
-            ctypes.c_double, ctypes.c_double, D, D, D, ctypes.c_int]
+            D, c_i, c_i, c_d, D,          # guesses, n, n_segments, thrust, spiral
+            D, D, D, c_d, c_d,            # halo seeds/periods/vstables, mani bounds
+            D, D, D, D, c_i]              # cost, pos, vel, mass, n_threads
         lib.cr3bp_evaluate_batch.restype = None
         lib.cr3bp_refine_batch.argtypes = [
-            D, D, ctypes.c_int, ctypes.c_int, ctypes.c_double, D,
-            ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
-            ctypes.c_double, ctypes.c_double, D, D, D, I, ctypes.c_int]
+            D, c_i, c_i, c_d, D,          # guesses, n, n_segments, thrust, spiral
+            D, D, D, c_d, c_d,            # halo data, mani bounds
+            c_i, c_d, c_d, c_d, c_d, c_i,  # max_iters, tol, shoot/coast bounds, optimal
+            D, D, D, D, D, D, I, D, D,    # refined, cost, pos, vel, mass, tmass, iters, stat, opt_gain
+            c_i]                          # n_threads
         lib.cr3bp_refine_batch.restype = None
         _lib = lib
         return _lib
@@ -117,51 +167,103 @@ def jacobi_energy(state) -> float:
     return float(lib.cr3bp_jacobi_energy(_dptr(s)))
 
 
-def evaluate_batch(guesses, energies, spiral_end, l1x: float, e_l1: float,
+def manifold_target(seed, period: float, vstable, tau_frac: float,
+                    length: float) -> np.ndarray:
+    lib = _load()
+    assert lib is not None, _build_error
+    seed = np.ascontiguousarray(seed, np.float64)
+    vs = np.ascontiguousarray(vstable, np.float64)
+    out = np.empty(6, np.float64)
+    lib.cr3bp_manifold_target(_dptr(seed), float(period), _dptr(vs),
+                              float(tau_frac), float(length), _dptr(out))
+    return out
+
+
+def _halo_arrays(halo_energies):
+    """Interpolate per-sample halo family data for the C++ oracle."""
+    from rdm_tpu.physics import halo as _halo
+
+    sd = _halo.interp_seed(np.asarray(halo_energies, np.float64))
+    seeds = np.ascontiguousarray(np.atleast_2d(sd["state0"]), np.float64)
+    periods = np.ascontiguousarray(np.atleast_1d(sd["period"]), np.float64)
+    vstables = np.ascontiguousarray(np.atleast_2d(sd["vstable"]), np.float64)
+    return seeds, periods, vstables
+
+
+def evaluate_batch(guesses, halo_energies, spiral_end,
                    n_segments: int = 20, thrust: float = 1.0,
+                   min_manifold_length: float = 5.0,
+                   max_manifold_length: float = 11.0,
                    n_threads: int = 0):
-    """Returns (pos_err[N], energy_err[N], final_mass[N])."""
+    """Forward-backward defect of every guess as-is.  Returns
+    (cost[N], pos_err[N], vel_err[N], final_mass[N])."""
     lib = _load()
     assert lib is not None, _build_error
     g = np.ascontiguousarray(guesses, np.float64)
-    e = np.ascontiguousarray(energies, np.float64)
     sp = np.ascontiguousarray(spiral_end, np.float64)
     n = g.shape[0]
-    assert g.shape == (n, 66) and e.shape == (n,) and sp.shape == (7,)
+    assert g.shape == (n, 66) and sp.shape == (7,)
+    seeds, periods, vstables = _halo_arrays(halo_energies)
+    assert seeds.shape == (n, 6) and periods.shape == (n,)
+    cost = np.empty(n, np.float64)
     pos = np.empty(n, np.float64)
-    ene = np.empty(n, np.float64)
+    vel = np.empty(n, np.float64)
     mass = np.empty(n, np.float64)
     if n_threads <= 0:
         n_threads = os.cpu_count() or 1
-    lib.cr3bp_evaluate_batch(_dptr(g), _dptr(e), n, int(n_segments),
-                             float(thrust), _dptr(sp), float(l1x), float(e_l1),
-                             _dptr(pos), _dptr(ene), _dptr(mass), n_threads)
-    return pos, ene, mass
+    lib.cr3bp_evaluate_batch(
+        _dptr(g), n, int(n_segments), float(thrust), _dptr(sp),
+        _dptr(seeds), _dptr(periods), _dptr(vstables),
+        float(min_manifold_length), float(max_manifold_length),
+        _dptr(cost), _dptr(pos), _dptr(vel), _dptr(mass), n_threads)
+    return cost, pos, vel, mass
 
 
-def refine_batch(guesses, energies, spiral_end, l1x: float, e_l1: float,
+def refine_batch(guesses, halo_energies, spiral_end,
                  n_segments: int = 20, thrust: float = 1.0,
                  max_iters: int = 30, tol: float = 1e-3,
                  max_shoot: float = 40.0, max_coast: float = 15.0,
+                 min_shoot: float = 0.0,
+                 min_manifold_length: float = 5.0,
+                 max_manifold_length: float = 11.0,
+                 solver_mode: str = "optimal",
                  n_threads: int = 0):
-    """LM-refine every warm start. Returns (refined[N,66], pos_err[N],
-    energy_err[N], iters[N]) with errors evaluated AFTER refinement."""
+    """LM-solve every warm start against the manifold boundary condition.
+
+    Returns a dict: refined[N,66], cost[N], pos_err[N], vel_err[N],
+    final_mass[N] (the solved mass variable), terminal_mass[N] (full
+    forward-propagated), iters[N], stationarity[N] (first-order
+    achievable mass rate, diagnostic), opt_gain[N] (final ratchet step,
+    kg — collapse below the tolerance certifies inform 1)."""
     lib = _load()
     assert lib is not None, _build_error
     g = np.ascontiguousarray(guesses, np.float64)
-    e = np.ascontiguousarray(energies, np.float64)
     sp = np.ascontiguousarray(spiral_end, np.float64)
     n = g.shape[0]
-    assert g.shape == (n, 66) and e.shape == (n,) and sp.shape == (7,)
+    assert g.shape == (n, 66) and sp.shape == (7,)
+    seeds, periods, vstables = _halo_arrays(halo_energies)
+    assert seeds.shape == (n, 6) and periods.shape == (n,)
     refined = np.empty_like(g)
+    cost = np.empty(n, np.float64)
     pos = np.empty(n, np.float64)
-    ene = np.empty(n, np.float64)
+    vel = np.empty(n, np.float64)
+    mass = np.empty(n, np.float64)
+    tmass = np.empty(n, np.float64)
     iters = np.empty(n, np.int32)
+    stat = np.empty(n, np.float64)
+    opt_gain = np.empty(n, np.float64)
     if n_threads <= 0:
         n_threads = os.cpu_count() or 1
+    optimal = 0 if str(solver_mode) == "feasible" else 1
     lib.cr3bp_refine_batch(
-        _dptr(g), _dptr(e), n, int(n_segments), float(thrust), _dptr(sp),
-        float(l1x), float(e_l1), int(max_iters), float(tol), float(max_shoot),
-        float(max_coast), _dptr(refined), _dptr(pos), _dptr(ene),
-        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
-    return refined, pos, ene, iters
+        _dptr(g), n, int(n_segments), float(thrust), _dptr(sp),
+        _dptr(seeds), _dptr(periods), _dptr(vstables),
+        float(min_manifold_length), float(max_manifold_length),
+        int(max_iters), float(tol), float(max_shoot), float(max_coast),
+        float(min_shoot), optimal, _dptr(refined), _dptr(cost), _dptr(pos),
+        _dptr(vel), _dptr(mass), _dptr(tmass),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _dptr(stat),
+        _dptr(opt_gain), n_threads)
+    return {"refined": refined, "cost": cost, "pos_err": pos,
+            "vel_err": vel, "final_mass": mass, "terminal_mass": tmass,
+            "iters": iters, "stationarity": stat, "opt_gain": opt_gain}

