@@ -169,6 +169,8 @@ def _run_batched(args, gen, backend):
             max_shoot=args.maximum_shooting_time,
             min_shoot=args.minimum_shooting_time,
             batch_tile=args.batch_tile, n_devices=args.n_devices,
+            min_mass=args.min_mass_to_sample,
+            max_mass=args.max_mass_to_sample,
             solver_mode=args.solver_mode)
         shoots_per_iter = 15   # 7 jacrev cotangents + 8 ladder trials
     else:
@@ -178,6 +180,8 @@ def _run_batched(args, gen, backend):
             start_bdry=args.start_bdry, max_iters=args.max_iters,
             max_shoot=args.maximum_shooting_time,
             min_shoot=args.minimum_shooting_time,
+            min_mass=args.min_mass_to_sample,
+            max_mass=args.max_mass_to_sample,
             solver_mode=args.solver_mode)
         shoots_per_iter = 70   # 66-column finite differences + trials
     per_sample = (time.time() - t0) / len(G)

@@ -29,8 +29,18 @@ def _enable_compilation_cache() -> None:
     program whose XLA compile takes minutes; caching makes that a
     once-per-machine cost instead of once-per-process.  Respects an
     explicit JAX_COMPILATION_CACHE_DIR / jax.config setting if the user
-    already chose one."""
+    already chose one.
+
+    The cache directory is scoped by a host fingerprint (jax version +
+    CPU feature flags): XLA:CPU AOT entries do NOT key on the host ISA,
+    so an entry compiled on one machine can be loaded on another with
+    different vector units — observed to change f32 rounding enough that
+    the chaotic CR3BP shoot diverges between a cached and a fresh
+    executable of the same program (and XLA itself warns it "could lead
+    to execution errors such as SIGILL")."""
+    import hashlib
     import os
+    import platform
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
@@ -39,8 +49,18 @@ def _enable_compilation_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir:
             return
+        finger = jax.__version__ + platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        finger += line
+                        break
+        except OSError:
+            finger += platform.processor()
+        host = hashlib.sha1(finger.encode()).hexdigest()[:12]
         cache = os.path.join(os.path.expanduser("~"), ".cache",
-                             "rdm_tpu", "xla_cache")
+                             "rdm_tpu", "xla_cache", host)
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         # cache everything that took noticeable compile time

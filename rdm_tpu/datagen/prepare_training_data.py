@@ -54,6 +54,15 @@ def _halo_period_fallback(halo_energy: float) -> float:
 
 
 def get_halo_period(halo_energy: float) -> float:
+    """Orbit period of the L1 halo at ``E_L1 + halo_energy``.
+
+    pydylan when installed (reference semantics,
+    ``prepare_training_data.py:23-34``); otherwise the framework's own
+    differentially-corrected halo family (``rdm_tpu.physics.halo``) — the
+    SAME family data that parametrises the oracle's manifold boundary
+    condition, so datagen normalisation and solver grading agree.  The
+    linearised fit is kept only as a last resort (e.g. a broken family
+    table cache)."""
     try:
         import pydylan
         earth, moon = pydylan.Body("Earth"), pydylan.Body("Moon")
@@ -64,7 +73,12 @@ def get_halo_period(halo_energy: float) -> float:
         assert halo.solve_for_orbit() == pydylan.enum.OrbitGenerationResult.Success
         return halo.orbit_period
     except ImportError:
-        return _halo_period_fallback(halo_energy)
+        try:
+            from rdm_tpu.physics import halo as _halo
+            return float(np.atleast_1d(
+                _halo.interp_seed(float(halo_energy))["period"])[0])
+        except Exception:
+            return _halo_period_fallback(halo_energy)
 
 
 def normalize_result(result: dict, num_segments: int = 20,

@@ -127,7 +127,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cr3bp_refine_batch.argtypes = [
             D, c_i, c_i, c_d, D,          # guesses, n, n_segments, thrust, spiral
             D, D, D, c_d, c_d,            # halo data, mani bounds
-            c_i, c_d, c_d, c_d, c_d, c_i,  # max_iters, tol, shoot/coast bounds, optimal
+            c_i, c_d, c_d, c_d, c_d,      # max_iters, tol, shoot/coast bounds
+            c_d, c_d, c_i,                # mass box, optimal
             D, D, D, D, D, D, I, D, D,    # refined, cost, pos, vel, mass, tmass, iters, stat, opt_gain
             c_i]                          # n_threads
         lib.cr3bp_refine_batch.restype = None
@@ -226,9 +227,15 @@ def refine_batch(guesses, halo_energies, spiral_end,
                  min_shoot: float = 0.0,
                  min_manifold_length: float = 5.0,
                  max_manifold_length: float = 11.0,
+                 min_mass: float = 408.0, max_mass: float = 470.0,
                  solver_mode: str = "optimal",
                  n_threads: int = 0):
     """LM-solve every warm start against the manifold boundary condition.
+
+    ``min_mass``/``max_mass`` bound the NLP's terminal-mass variable.
+    They default to the reference's ``min/max_mass_to_sample`` window
+    (408-470 kg) — also the training-data normalisation window, so
+    solved masses stay inside the diffusion model's unit hypercube.
 
     Returns a dict: refined[N,66], cost[N], pos_err[N], vel_err[N],
     final_mass[N] (the solved mass variable), terminal_mass[N] (full
@@ -260,7 +267,8 @@ def refine_batch(guesses, halo_energies, spiral_end,
         _dptr(seeds), _dptr(periods), _dptr(vstables),
         float(min_manifold_length), float(max_manifold_length),
         int(max_iters), float(tol), float(max_shoot), float(max_coast),
-        float(min_shoot), optimal, _dptr(refined), _dptr(cost), _dptr(pos),
+        float(min_shoot), float(min_mass), float(max_mass), optimal,
+        _dptr(refined), _dptr(cost), _dptr(pos),
         _dptr(vel), _dptr(mass), _dptr(tmass),
         iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _dptr(stat),
         _dptr(opt_gain), n_threads)

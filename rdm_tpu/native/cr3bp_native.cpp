@@ -60,8 +60,11 @@ constexpr double ISP_S = 1000.0;
 constexpr int NVAR = 66;
 constexpr int NRES = 7;
 constexpr double MASS_SCALE = 100.0;
-constexpr double MASS_MIN = 301.0;
-constexpr double MASS_MAX = 752.0;
+// Default mass-variable box: the reference's min/max_mass_to_sample
+// window (408-470 kg) — also the training-data normalisation window, so
+// solved masses stay inside the diffusion model's unit hypercube.
+constexpr double MASS_MIN = 408.0;
+constexpr double MASS_MAX = 470.0;
 constexpr int COAST_STEPS = 32;
 constexpr int SEG_STEPS = 16;
 constexpr int N_HALO_STEPS = 256;
@@ -259,7 +262,8 @@ void shoot_backward(const double* g, int n_segments, int n_fwd,
   State7 s;
   std::memcpy(s.v, target6, 6 * sizeof(double));
   double m = g[63];
-  s.v[6] = m < MASS_MIN ? MASS_MIN : (m > MASS_MAX ? MASS_MAX : m);
+  // physical sanity only — the NLP's mass box is enforced by clamp_vars
+  s.v[6] = m < 301.0 ? 301.0 : (m > 752.0 ? 752.0 : m);
   const double zero_u[3] = {0.0, 0.0, 0.0};
   const double t_shoot = g[0] > 1e-3 ? g[0] : 1e-3;
   const double t_c2 = g[2] > 0.0 ? g[2] : 0.0;
@@ -334,7 +338,8 @@ void residual7(const double* g, int n_segments, double thrust_n,
 
 inline void clamp_vars(double* g, int n_segments, double max_shoot,
                        double max_coast, double min_shoot, double min_mani,
-                       double max_mani) {
+                       double max_mani, double mass_min = MASS_MIN,
+                       double mass_max = MASS_MAX) {
   const double lo_shoot = min_shoot > 1e-3 ? min_shoot : 1e-3;
   g[0] = g[0] < lo_shoot ? lo_shoot : (g[0] > max_shoot ? max_shoot : g[0]);
   for (int i = 1; i <= 2; ++i)
@@ -343,7 +348,7 @@ inline void clamp_vars(double* g, int n_segments, double max_shoot,
     double& r = g[3 + 3 * k + 2];
     r = r < 0.0 ? 0.0 : (r > 1.0 ? 1.0 : r);
   }
-  g[63] = g[63] < MASS_MIN ? MASS_MIN : (g[63] > MASS_MAX ? MASS_MAX : g[63]);
+  g[63] = g[63] < mass_min ? mass_min : (g[63] > mass_max ? mass_max : g[63]);
   g[64] = g[64] < 0.0 ? 0.0 : (g[64] > 1.0 ? 1.0 : g[64]);
   g[65] = g[65] < min_mani ? min_mani : (g[65] > max_mani ? max_mani : g[65]);
 }
@@ -385,6 +390,7 @@ struct Problem {
   double thrust;
   const double* spiral_end;
   double max_shoot, max_coast, min_shoot;
+  double mass_min = MASS_MIN, mass_max = MASS_MAX;
 };
 
 // Structure-aware finite-difference Jacobian: columns 0..62 only move the
@@ -416,7 +422,7 @@ int lm_refine(double* g, const Problem& p, const HaloData& h, int max_iters,
               double tol, double* r_out, double* cost_out) {
   double r[NRES];
   clamp_vars(g, p.n_segments, p.max_shoot, p.max_coast, p.min_shoot,
-             h.min_mani, h.max_mani);
+             h.min_mani, h.max_mani, p.mass_min, p.mass_max);
   residual7(g, p.n_segments, p.thrust, p.spiral_end, h, r);
   double cost = norm_res(r);
   double lambda = 1e-3;
@@ -490,7 +496,7 @@ int ratchet_refine(double* g, const Problem& p, const HaloData& h,
   constexpr int NR8 = NRES + 1;
   double r[NRES];
   clamp_vars(g, p.n_segments, p.max_shoot, p.max_coast, p.min_shoot,
-             h.min_mani, h.max_mani);
+             h.min_mani, h.max_mani, p.mass_min, p.mass_max);
   residual7(g, p.n_segments, p.thrust, p.spiral_end, h, r);
   double c7 = norm_res(r);
   double lambda = 1e-3;
@@ -648,7 +654,7 @@ double mass_rate(const double* g, const Problem& p, const HaloData& h,
   mask(2, 0.0, p.max_coast);
   for (int k = 0; k < p.n_segments; ++k)
     mask(3 + 3 * k + 2, 0.0, 1.0);
-  mask(63, MASS_MIN, MASS_MAX);
+  mask(63, p.mass_min, p.mass_max);
   mask(64, 0.0, 1.0);
   mask(65, h.min_mani, h.max_mani);
   proj(d, d2);
@@ -755,6 +761,7 @@ void cr3bp_refine_batch(const double* guesses, int n, int n_segments,
                         const double* halo_vstables, double min_mani,
                         double max_mani, int max_iters, double tol,
                         double max_shoot, double max_coast, double min_shoot,
+                        double mass_min, double mass_max,
                         int optimal, double* refined, double* cost,
                         double* pos_err, double* vel_err, double* final_mass,
                         double* terminal_mass, int* iters,
@@ -765,7 +772,7 @@ void cr3bp_refine_batch(const double* guesses, int n, int n_segments,
     HaloData h{halo_seeds + 6 * i, halo_periods[i], halo_vstables + 6 * i,
                min_mani, max_mani};
     Problem p{n_segments, thrust_n, spiral_end, max_shoot, max_coast,
-              min_shoot};
+              min_shoot, mass_min, mass_max};
     double* g = refined + NVAR * i;
     double r[NRES], c;
     int it;

@@ -197,6 +197,8 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             min_shoot=self.minimum_shooting_time,
             min_manifold_length=self.min_manifold_length,
             max_manifold_length=self.max_manifold_length,
+            min_mass=self.min_mass_to_sample,
+            max_mass=self.max_mass_to_sample,
             solver_mode=self.solver_mode)
         solving_time = time.time() - t0
         return self._result_from_batch(res, solving_time)
@@ -217,6 +219,8 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             min_shoot=self.minimum_shooting_time,
             min_manifold_length=self.min_manifold_length,
             max_manifold_length=self.max_manifold_length,
+            min_mass=self.min_mass_to_sample,
+            max_mass=self.max_mass_to_sample,
             solver_mode=self.solver_mode)
         solving_time = time.time() - t0
         return self._result_from_batch(res, solving_time)
@@ -340,6 +344,8 @@ def evaluate_warmstarts_native(guesses: np.ndarray, halo_energies: np.ndarray,
                                min_shoot: float = 0.0,
                                min_manifold_length: float = 5.0,
                                max_manifold_length: float = 11.0,
+                               min_mass: float = 408.0,
+                               max_mass: float = 470.0,
                                solver_mode: str = "optimal",
                                n_threads: int = 0):
     """Grade [N, 66] warm starts with the native C++ solver.
@@ -367,6 +373,7 @@ def evaluate_warmstarts_native(guesses: np.ndarray, halo_energies: np.ndarray,
             max_shoot=max_shoot, max_coast=max_coast, min_shoot=min_shoot,
             min_manifold_length=min_manifold_length,
             max_manifold_length=max_manifold_length,
+            min_mass=min_mass, max_mass=max_mass,
             solver_mode=solver_mode, n_threads=n_threads)
         refined, cost = out["refined"], out["cost"]
         pos_err, vel_err = out["pos_err"], out["vel_err"]

@@ -64,8 +64,13 @@ from .oracle import _mission_constants
 NVAR = 66
 NRES = 7
 _MASS_SCALE = 100.0       # kg per residual unit: tol 1e-3 ~ 0.1 kg binding
-_MASS_MIN = 301.0         # kg, just above dry mass
-_MASS_MAX = 752.0         # kg, spiral-end wet mass
+# Default mass-variable box: the reference's min/max_mass_to_sample
+# window (408-470 kg) — also the training-data normalisation window, so
+# solved masses stay inside the diffusion model's unit hypercube.
+_MASS_MIN = 408.0
+_MASS_MAX = 470.0
+_MASS_DRY = 301.0         # kg, just above dry mass (physical sanity)
+_MASS_WET = 752.0         # kg, spiral-end wet mass
 _N_LAMBDA = 8             # rungs of the parallel damping ladder
 _COAST_STEPS = 32
 _SEG_STEPS = 16
@@ -83,15 +88,16 @@ _CACHE = {}
 
 
 def _clamp_vars(theta, n_segments, max_shoot, max_coast, min_shoot=0.0,
-                min_mani=5.0, max_mani=11.0):
+                min_mani=5.0, max_mani=11.0,
+                mass_min=_MASS_MIN, mass_max=_MASS_MAX):
     """cr3bp_native.cpp:clamp_vars on the 66-vector: times, throttles in
-    [0,1], mass in [dry, wet], phase fraction in [0,1], manifold length in
-    the boundary-condition window (the reference NLP's variable bounds)."""
+    [0,1], mass in the NLP's mass box, phase fraction in [0,1], manifold
+    length in the boundary-condition window (the NLP's variable bounds)."""
     t_shoot = jnp.clip(theta[0], max(1e-3, min_shoot), max_shoot)
     coasts = jnp.clip(theta[1:3], 0.0, max_coast)
     ctrl = theta[3:3 + 3 * n_segments].reshape(n_segments, 3)
     ctrl = ctrl.at[:, 2].set(jnp.clip(ctrl[:, 2], 0.0, 1.0))
-    mass = jnp.clip(theta[63], _MASS_MIN, _MASS_MAX)
+    mass = jnp.clip(theta[63], mass_min, mass_max)
     tau = jnp.clip(theta[64], 0.0, 1.0)
     mani = jnp.clip(theta[65], min_mani, max_mani)
     return jnp.concatenate([t_shoot[None], coasts, ctrl.reshape(-1),
@@ -160,7 +166,8 @@ def _shoot_backward(theta, target6, thrust, n_segments, n_fwd):
     t_c2 = jnp.maximum(theta[2], 0.0)
     u_dir, throttle = _controls(theta, n_segments)
     seg_dt = t_shoot / n_segments
-    mass_end = jnp.clip(theta[63], _MASS_MIN, _MASS_MAX)
+    # physical sanity only — the NLP's mass box is enforced by _clamp_vars
+    mass_end = jnp.clip(theta[63], _MASS_DRY, _MASS_WET)
 
     s0 = jnp.concatenate([target6, mass_end[None]])
     zc = jnp.zeros((_COAST_STEPS, 3))
@@ -399,7 +406,8 @@ def _ratchet_loop(res_fn, clamp, theta0, base_iters, total_iters, tol):
 
 
 def _bounds_arrays(n_segments, max_shoot, max_coast, min_shoot,
-                   min_mani, max_mani):
+                   min_mani, max_mani, mass_min=_MASS_MIN,
+                   mass_max=_MASS_MAX):
     """(lower, upper) f32[NVAR] box bounds of the NLP variables."""
     lo = np.full(NVAR, -np.inf, np.float32)
     hi = np.full(NVAR, np.inf, np.float32)
@@ -407,7 +415,7 @@ def _bounds_arrays(n_segments, max_shoot, max_coast, min_shoot,
     lo[1:3], hi[1:3] = 0.0, max_coast
     for k in range(n_segments):
         lo[3 + 3 * k + 2], hi[3 + 3 * k + 2] = 0.0, 1.0
-    lo[63], hi[63] = _MASS_MIN, _MASS_MAX
+    lo[63], hi[63] = mass_min, mass_max
     lo[64], hi[64] = 0.0, 1.0
     lo[65], hi[65] = min_mani, max_mani
     return jnp.asarray(lo), jnp.asarray(hi)
@@ -435,10 +443,11 @@ def _mass_rate(res_fn, theta, lower, upper):
 
 def _refine_one(theta0, alpha_he, spiral_end, thrust, n_segments,
                 max_iters, tol, max_shoot, max_coast, min_shoot,
-                min_mani, max_mani, optimal: bool):
+                min_mani, max_mani, mass_min, mass_max, optimal: bool):
     """LM refinement (+ optional mass ascent) of one sample; vmapped."""
     clamp = lambda th: _clamp_vars(th, n_segments, max_shoot, max_coast,
-                                   min_shoot, min_mani, max_mani)
+                                   min_shoot, min_mani, max_mani,
+                                   mass_min, mass_max)
     res_fn = lambda th: _residual(th, alpha_he, spiral_end, thrust,
                                   n_segments, min_mani, max_mani)[0]
 
@@ -447,7 +456,8 @@ def _refine_one(theta0, alpha_he, spiral_end, thrust, n_segments,
             res_fn, clamp, theta0, max_iters, max_iters + _OPT_BUDGET, tol)
         opt_gain = jnp.where(has_b, gain_f, jnp.asarray(1e6, cost.dtype))
         lower, upper = _bounds_arrays(n_segments, max_shoot, max_coast,
-                                      min_shoot, min_mani, max_mani)
+                                      min_shoot, min_mani, max_mani,
+                                      mass_min, mass_max)
         stationarity = jnp.where(has_b, _mass_rate(res_fn, theta, lower,
                                                    upper),
                                  jnp.asarray(1e6, cost.dtype))
@@ -464,7 +474,7 @@ def _refine_one(theta0, alpha_he, spiral_end, thrust, n_segments,
     # reports results.control[-3], ...warmstart.py:248); also propagate
     # the full forward arc for the physically-integrated terminal mass
     final_mass = jnp.where(finite,
-                           jnp.clip(theta[63], _MASS_MIN, _MASS_MAX), -1.0)
+                           jnp.clip(theta[63], mass_min, mass_max), -1.0)
     term = _shoot(theta, spiral_end, thrust, n_segments)
     terminal_mass = jnp.where(jnp.all(jnp.isfinite(term)), term[6], -1.0)
     return (theta, cost, pos_err, vel_err, final_mass, terminal_mass, it,
@@ -472,7 +482,8 @@ def _refine_one(theta0, alpha_he, spiral_end, thrust, n_segments,
 
 
 def _build(thrust, n_segments, start_bdry, max_iters, tol, max_shoot,
-           max_coast, n_devices, min_shoot, min_mani, max_mani, optimal):
+           max_coast, n_devices, min_shoot, min_mani, max_mani,
+           mass_min, mass_max, optimal):
     spiral_end, _l1x, e_l1 = _mission_constants(start_bdry)
     spiral_end = jnp.asarray(spiral_end, jnp.float32)
 
@@ -482,6 +493,7 @@ def _build(thrust, n_segments, start_bdry, max_iters, tol, max_shoot,
                                        n_segments, max_iters, tol,
                                        max_shoot, max_coast, min_shoot,
                                        min_mani, max_mani,
+                                       mass_min, mass_max,
                                        optimal))(thetas, alphas)
 
     if n_devices > 1:
@@ -507,6 +519,8 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
                           min_shoot: float = 0.0,
                           min_manifold_length: float = 5.0,
                           max_manifold_length: float = 11.0,
+                          min_mass: float = _MASS_MIN,
+                          max_mass: float = _MASS_MAX,
                           solver_mode: str = "optimal"):
     """Solve + grade [N, 66] warm starts entirely on the accelerator.
 
@@ -535,7 +549,8 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     key = (float(thrust), int(n_segments), float(start_bdry),
            int(max_iters), float(tol), float(max_shoot), float(max_coast),
            int(n_devices), float(min_shoot), float(min_manifold_length),
-           float(max_manifold_length), bool(optimal))
+           float(max_manifold_length), float(min_mass), float(max_mass),
+           bool(optimal))
     if key not in _CACHE:
         _CACHE[key] = _build(*key)
     fn, _e_l1 = _CACHE[key]
