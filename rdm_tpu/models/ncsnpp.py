@@ -62,14 +62,21 @@ class NCSNpp(nn.Module):
     @classmethod
     def from_config(cls, config):
         m = config.model
+        d = config.get("data", {})
+        # geometry lives in the data group for the image configs
+        # (reference NCSNpp reads config.data.image_size/num_channels);
+        # the GTO model config carries its own copy — model wins.
+        image_size = m.get("image_size", d.get("image_size", 9))
+        channels = m.get("channels", d.get("num_channels", 1))
         return cls(
             nf=m.nf, ch_mult=tuple(m.ch_mult), num_res_blocks=m.num_res_blocks,
             attn_resolutions=tuple(m.attn_resolutions), dropout=m.dropout,
             resamp_with_conv=m.resamp_with_conv, conditional=m.conditional,
             cond_drop_prob=m.get("cond_drop_prob", 0.0),
-            num_classes=m.get("num_classes", 1), init_scale=m.init_scale,
-            skip_rescale=m.skip_rescale, image_size=m.image_size,
-            image_width=m.get("image_width", m.image_size), channels=m.channels,
+            num_classes=m.get("num_classes", d.get("num_classes", 1)),
+            init_scale=m.init_scale,
+            skip_rescale=m.skip_rescale, image_size=image_size,
+            image_width=m.get("image_width", image_size), channels=channels,
             scale_by_sigma=m.get("scale_by_sigma", False),
             fourier_scale=m.fourier_scale, nonlinearity=m.nonlinearity,
             dtype=jnp.bfloat16 if m.get("precision") == "bfloat16" else jnp.float32,

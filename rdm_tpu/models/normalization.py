@@ -97,6 +97,106 @@ class InstanceNorm2dPlus(nn.Module):
         return out
 
 
+def _cond_embed(module, num_classes: int, C: int, bias: bool):
+    """Reference conditional-norm embedding table: scale part initialised
+    ``uniform_()`` in [0, 1) (the reference COMMENT says N(1, 0.02) but the
+    CODE is uniform — ``normalization.py:36-40,62-66,117-121``; behaviour
+    parity keeps the code), bias part zeros."""
+    n_emb = 2 if bias else 1
+    table = module.param(
+        "embed",
+        lambda key, shape: jnp.concatenate(
+            [jax.random.uniform(key, (shape[0], C)),
+             jnp.zeros((shape[0], C))], axis=-1) if bias else
+        jax.random.uniform(key, shape),
+        (num_classes, n_emb * C))
+    return table
+
+
+def _apply_cond_affine(h, table, y, C: int, bias: bool):
+    emb = table[y.astype(jnp.int32)]
+    gamma = emb[:, :C]
+    out = gamma[:, None, None, :] * h
+    if bias:
+        out = out + emb[:, C:][:, None, None, :]
+    return out
+
+
+class ConditionalBatchNorm2d(nn.Module):
+    """Reference ``normalization.py:28-51``: affine-free batch norm with a
+    per-class (gamma, beta) embedding."""
+    num_classes: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, y, *, train: bool = True):
+        h = nn.BatchNorm(use_running_average=not train, use_bias=False,
+                         use_scale=False)(x)
+        C = x.shape[-1]
+        return _apply_cond_affine(h, _cond_embed(self, self.num_classes, C,
+                                                 self.bias), y, C, self.bias)
+
+
+class ConditionalInstanceNorm2d(nn.Module):
+    """Reference ``normalization.py:53-76``: affine-free instance norm with
+    a per-class (gamma, beta) embedding."""
+    num_classes: int
+    bias: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, y):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        h = (x - mean) / jnp.sqrt(var + self.eps)
+        C = x.shape[-1]
+        return _apply_cond_affine(h, _cond_embed(self, self.num_classes, C,
+                                                 self.bias), y, C, self.bias)
+
+
+class ConditionalVarianceNorm2d(nn.Module):
+    """Reference ``normalization.py:78-93``: scale-only normalization with a
+    per-class gamma embedding (init N(1, 0.02) — here the comment and code
+    agree)."""
+    num_classes: int
+    bias: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, y):
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        h = x / jnp.sqrt(var + self.eps)
+        C = x.shape[-1]
+        table = self.param(
+            "embed",
+            lambda key, shape: jax.random.normal(key, shape) * 0.02 + 1.0,
+            (self.num_classes, C))
+        gamma = table[y.astype(jnp.int32)]
+        return gamma[:, None, None, :] * h
+
+
+class ConditionalNoneNorm2d(nn.Module):
+    """Reference ``normalization.py:111-131``: no normalization, just the
+    per-class (gamma, beta) affine."""
+    num_classes: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, y):
+        C = x.shape[-1]
+        return _apply_cond_affine(x, _cond_embed(self, self.num_classes, C,
+                                                 self.bias), y, C, self.bias)
+
+
+class NoneNorm2d(nn.Module):
+    """Reference ``normalization.py:134-139``: identity."""
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
 class ConditionalInstanceNorm2dPlus(nn.Module):
     """Class-conditional InstanceNorm++ (reference
     ``normalization.py:175-208``): per-class gamma/alpha/beta embeddings."""
