@@ -67,6 +67,10 @@ class GTOHaloBenchmarkConfig:
     oracle_backend: Optional[str] = None  # None=auto, "pydylan", "native", "jax"
     solver_mode: str = "optimal"  # reference run_benchmark default (:335)
     oracle_max_iters: int = 30
+    # monotonic basin hops of still-infeasible lanes (the reference's
+    # SNOPT runs under MBH, cr3bp_...warmstart.py:176); 8 hops x 30 LM
+    # iters is a few hundred shoots/sample vs SNOPT's 15000-iter budget
+    oracle_mbh_rounds: int = 8
 
 
 class GTOHaloBenchmarker:
@@ -209,6 +213,7 @@ class GTOHaloBenchmarker:
                     samples[:, 0].astype(np.float64),
                     max_iters=cfgb.oracle_max_iters,
                     solver_mode=cfgb.solver_mode,
+                    mbh_rounds=cfgb.oracle_mbh_rounds,
                     n_threads=cfgb.max_workers or 0)
                 note = ("C++ Levenberg-Marquardt local solve of the "
                         "manifold-insertion NLP for each warm start "
@@ -221,7 +226,8 @@ class GTOHaloBenchmarker:
                     samples[:, 1:].astype(np.float32),
                     samples[:, 0].astype(np.float32),
                     max_iters=cfgb.oracle_max_iters,
-                    solver_mode=cfgb.solver_mode)
+                    solver_mode=cfgb.solver_mode,
+                    mbh_rounds=cfgb.oracle_mbh_rounds)
                 note = ("TPU-batched Levenberg-Marquardt local solve of the "
                         "manifold-insertion NLP for each warm start "
                         "(pydylan/SNOPT unavailable); feasible = the local "
@@ -235,7 +241,8 @@ class GTOHaloBenchmarker:
                     samples[:, 1:].astype(np.float32),
                     samples[:, 0].astype(np.float32),
                     max_iters=cfgb.oracle_max_iters,
-                    solver_mode=cfgb.solver_mode)
+                    solver_mode=cfgb.solver_mode,
+                    mbh_rounds=cfgb.oracle_mbh_rounds)
                 per_sample_time = (time.time() - t1) / max(len(samples), 1)
             results = [{
                 "results.control": res["refined"][i],
@@ -253,6 +260,7 @@ class GTOHaloBenchmarker:
             extra = {"oracle_backend": backend,
                      "oracle_note": note,
                      "oracle_solver_mode": cfgb.solver_mode,
+                     "oracle_mbh_rounds": cfgb.oracle_mbh_rounds,
                      "oracle_wall_time_with_compile_s": time.time() - t0,
                      "mean_refine_iters": float(np.mean(res["iters"])),
                      "mean_terminal_pos_error": float(np.mean(res["pos_err"])),

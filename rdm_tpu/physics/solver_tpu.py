@@ -521,7 +521,10 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
                           max_manifold_length: float = 11.0,
                           min_mass: float = _MASS_MIN,
                           max_mass: float = _MASS_MAX,
-                          solver_mode: str = "optimal"):
+                          solver_mode: str = "optimal",
+                          mbh_rounds: int = 0,
+                          mbh_sigma: float = 0.05,
+                          mbh_seed: int = 0):
     """Solve + grade [N, 66] warm starts entirely on the accelerator.
 
     Drop-in twin of :func:`rdm_tpu.physics.oracle.evaluate_warmstarts_native`
@@ -537,6 +540,9 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
 
     ``n_devices`` > 1 shards each tile over that many devices of the
     default backend (0 = all of them).
+
+    ``mbh_rounds`` > 0 adds the reference's monotonic-basin-hopping
+    globalisation (``...warmstart.py:176``; see ``oracle._mbh_loop``).
     """
     if n_devices == 0:
         n_devices = jax.local_device_count()
@@ -555,58 +561,65 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
         _CACHE[key] = _build(*key)
     fn, _e_l1 = _CACHE[key]
 
-    guesses = np.asarray(guesses, np.float32)
-    n = len(guesses)
-    thetas_np = guesses[:, :NVAR]
-    a_np = np.asarray(halo_energies, np.float32)
+    from .oracle import _grade
 
-    if n <= batch_tile and n % n_devices:
-        # pad just to the device count so the direct call shards evenly
-        pad = n_devices - n % n_devices
-        thetas_np = np.concatenate([thetas_np,
-                                    np.repeat(thetas_np[-1:], pad, 0)])
-        a_np = np.concatenate([a_np, np.repeat(a_np[-1:], pad)])
+    def _solve_once(guesses_in, energies_in):
+        g = np.asarray(guesses_in, np.float32)
+        n = len(g)
+        thetas_np = g[:, :NVAR]
+        a_np = np.asarray(energies_in, np.float32)
 
-    if n > batch_tile:
-        outs = []
-        for lo in range(0, n, batch_tile):
-            t = thetas_np[lo:lo + batch_tile]
-            a = a_np[lo:lo + batch_tile]
-            if len(t) < batch_tile:  # pad to the compiled tile shape
-                pad = batch_tile - len(t)
-                t = np.concatenate([t, np.repeat(t[-1:], pad, 0)])
-                a = np.concatenate([a, np.repeat(a[-1:], pad)])
-            outs.append([np.asarray(o)[:min(batch_tile, n - lo)]
-                         for o in fn(jnp.asarray(t), jnp.asarray(a))])
-        (theta, cost, pos_err, vel_err, final_mass, terminal_mass, iters,
-         stat, opt_gain) = (np.concatenate(cols) for cols in zip(*outs))
-    else:
-        (theta, cost, pos_err, vel_err, final_mass, terminal_mass, iters,
-         stat, opt_gain) = (np.asarray(o)[:n]
-                            for o in fn(jnp.asarray(thetas_np),
-                                        jnp.asarray(a_np)))
-    # float64 like the native oracle's result dict (the solve itself is f32)
-    refined = guesses.astype(np.float64)
-    refined[:, :NVAR] = np.asarray(theta, np.float64)
-    cost = np.asarray(cost, np.float64)
-    pos_err = np.asarray(pos_err, np.float64)
-    vel_err = np.asarray(vel_err, np.float64)
-    final_mass = np.asarray(final_mass, np.float64)
-    terminal_mass = np.asarray(terminal_mass, np.float64)
-    stat = np.asarray(stat, np.float64)
-    opt_gain = np.asarray(opt_gain, np.float64)
+        if n <= batch_tile and n % n_devices:
+            # pad just to the device count so the direct call shards evenly
+            pad = n_devices - n % n_devices
+            thetas_np = np.concatenate([thetas_np,
+                                        np.repeat(thetas_np[-1:], pad, 0)])
+            a_np = np.concatenate([a_np, np.repeat(a_np[-1:], pad)])
 
-    sane = (np.isfinite(cost) & (cost < 1e5)
-            & (final_mass > 300.0) & (final_mass < 1000.1))
-    feasible = sane & (cost < tol)
-    # inform 1 = the mass-ascent ratchet CONVERGED (gain collapsed after
-    # repeated failed attempts to extract more mass) — a constrained
-    # local optimum, the analogue of SNOPT inform 1 (...warmstart.py:197)
-    certified = feasible & optimal & (opt_gain < _OPT_GAIN_TOL)
-    inform = np.where(certified, 1, np.where(feasible, 3, 13))
-    return {"feasible": feasible, "optimal": certified, "inform": inform,
-            "cost": cost, "pos_err": pos_err, "vel_err": vel_err,
-            "refined": refined, "iters": np.asarray(iters, np.int64),
-            "final_mass": final_mass, "terminal_mass": terminal_mass,
-            "stationarity": stat, "opt_gain": opt_gain,
-            "solver_mode": solver_mode}
+        if n > batch_tile:
+            outs = []
+            for lo in range(0, n, batch_tile):
+                t = thetas_np[lo:lo + batch_tile]
+                a = a_np[lo:lo + batch_tile]
+                if len(t) < batch_tile:  # pad to the compiled tile shape
+                    pad = batch_tile - len(t)
+                    t = np.concatenate([t, np.repeat(t[-1:], pad, 0)])
+                    a = np.concatenate([a, np.repeat(a[-1:], pad)])
+                outs.append([np.asarray(o)[:min(batch_tile, n - lo)]
+                             for o in fn(jnp.asarray(t), jnp.asarray(a))])
+            (theta, cost, pos_err, vel_err, final_mass, terminal_mass,
+             iters, stat, opt_gain) = (np.concatenate(cols)
+                                       for cols in zip(*outs))
+        else:
+            (theta, cost, pos_err, vel_err, final_mass, terminal_mass,
+             iters, stat, opt_gain) = (np.asarray(o)[:n]
+                                       for o in fn(jnp.asarray(thetas_np),
+                                                   jnp.asarray(a_np)))
+        # float64 like the native oracle's dict (the solve itself is f32)
+        refined = g.astype(np.float64)
+        refined[:, :NVAR] = np.asarray(theta, np.float64)
+        out = {"refined": refined,
+               "cost": np.asarray(cost, np.float64),
+               "pos_err": np.asarray(pos_err, np.float64),
+               "vel_err": np.asarray(vel_err, np.float64),
+               "final_mass": np.asarray(final_mass, np.float64),
+               "terminal_mass": np.asarray(terminal_mass, np.float64),
+               "iters": np.asarray(iters, np.int64),
+               "stationarity": np.asarray(stat, np.float64),
+               "opt_gain": np.asarray(opt_gain, np.float64)}
+        # inform 1 = the mass-ascent ratchet CONVERGED (gain collapsed
+        # after repeated failed attempts to extract more mass) — a
+        # constrained local optimum, the analogue of SNOPT inform 1
+        # (...warmstart.py:197)
+        return _grade(out, tol, optimal, solver_mode)
+
+    if mbh_rounds > 0:
+        from .oracle import _mbh_loop, nlp_box
+        lo_b, hi_b = nlp_box(n_segments, max_shoot, max_coast, min_shoot,
+                             min_manifold_length, max_manifold_length,
+                             min_mass, max_mass)
+        return _mbh_loop(_solve_once,
+                         np.asarray(guesses, np.float64)[:, :NVAR],
+                         np.asarray(halo_energies, np.float64),
+                         mbh_rounds, mbh_sigma, mbh_seed, lo_b, hi_b)
+    return _solve_once(guesses, halo_energies)

@@ -30,6 +30,10 @@ def make_parser():
     p.add_argument("--oracle_backend", default=None,
                    choices=[None, "pydylan", "tpu", "native", "jax"])
     p.add_argument("--max_workers", type=int, default=None)
+    p.add_argument("--oracle_mbh_rounds", type=int, default=8,
+                   help="monotonic basin hops of still-infeasible lanes "
+                        "(the reference's SNOPT runs under MBH); 0 = one "
+                        "cold local solve per sample")
     p.add_argument("--output_dir", default="benchmark_results")
     p.add_argument("--save_samples", action="store_true", default=True)
     p.add_argument("--save_plots", action="store_true", default=True)
@@ -73,7 +77,8 @@ def main(argv=None):
             output_dir=os.path.join(args.output_dir, "gto_halo"),
             save_samples=args.save_samples, save_plots=args.save_plots,
             device=args.device, max_workers=args.max_workers,
-            test_mode=args.test_mode, oracle_backend=args.oracle_backend)
+            test_mode=args.test_mode, oracle_backend=args.oracle_backend,
+            oracle_mbh_rounds=args.oracle_mbh_rounds)
         results["gto_halo"] = GTOHaloBenchmarker(cfg).run_benchmark()
 
     print("\nBenchmarks complete. Results under", args.output_dir)

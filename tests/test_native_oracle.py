@@ -144,3 +144,30 @@ def test_benchmark_auto_prefers_native(monkeypatch):
     assert m["oracle_backend"] == "native"
     assert "feasible_ratio" in m
     assert "mean_refine_iters" in m
+
+
+def test_mbh_monotone_and_deterministic():
+    """Monotonic basin hopping (the reference's SNOPT always runs under
+    MBH, cr3bp_...warmstart.py:176): hops may only improve a lane (reach
+    feasibility or lower the residual), accumulate the hop iterations,
+    and are deterministic regardless of call order."""
+    from rdm_tpu.physics.oracle import evaluate_warmstarts_native
+
+    rng = np.random.default_rng(11)
+    G = rng.uniform(0, 1, (4, 66))
+    G[:, 0] = rng.uniform(15, 35, 4)
+    G[:, 1:3] = rng.uniform(0, 8, (4, 2))
+    G[:, 63] = rng.uniform(408, 470, 4)
+    G[:, 65] = rng.uniform(5, 11, 4)
+    he = rng.uniform(0.01, 0.09, 4)
+
+    cold = evaluate_warmstarts_native(G, he, max_iters=6,
+                                      solver_mode="feasible", mbh_rounds=0)
+    hop = evaluate_warmstarts_native(G, he, max_iters=6,
+                                     solver_mode="feasible", mbh_rounds=2)
+    assert np.all(hop["cost"] <= cold["cost"] + 1e-12)
+    assert np.all(hop["feasible"] >= cold["feasible"])
+    assert np.all(hop["iters"] >= cold["iters"])
+    hop2 = evaluate_warmstarts_native(G, he, max_iters=6,
+                                      solver_mode="feasible", mbh_rounds=2)
+    np.testing.assert_array_equal(hop["refined"], hop2["refined"])
