@@ -39,6 +39,13 @@ def main():
     p.add_argument("--guidance_weight", type=float, default=0.0,
                    help="CFG weight; 0 (the reference benchmark default) "
                         "elides the unconditional forward at trace time")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="shard the sampling batch over this many local "
+                        "devices (0 = all); >1 reports traj/s for the whole "
+                        "mesh — the v5e-8 north-star measurement the moment "
+                        "multi-chip hardware is attached (the sharding "
+                        "itself is dryrun-validated on a virtual CPU mesh "
+                        "by __graft_entry__.dryrun_multichip)")
     args = p.parse_args()
 
     from rdm_tpu.config import load_config
@@ -58,8 +65,9 @@ def main():
     params = state.params
     sde = RVESDE(cfg.sde.sigma_min, cfg.sde.sigma_max, args.steps)
 
-    n_dev = len(jax.devices())
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    n_dev = args.n_devices or len(jax.devices())
+    n_dev = max(1, min(n_dev, len(jax.devices())))
+    print(f"devices: {jax.devices()} (using {n_dev})", file=sys.stderr)
 
     def make_runner(batch):
         shape = (batch, 9, 9, 1)
@@ -78,6 +86,15 @@ def main():
             x, nfe = sampler(score_fn, ks)
             return x
 
+        if n_dev > 1:
+            # DP mass sampling: batch sharded over the mesh, params
+            # replicated; the scanned sampler has no cross-sample ops, so
+            # the SPMD partitioner splits it with zero collectives in the
+            # hot loop (sharding validated on the virtual CPU mesh).
+            import numpy as np
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+            return jax.jit(run, out_shardings=NamedSharding(mesh, P("data")))
         return jax.jit(run)
 
     def _sync(x):
@@ -109,14 +126,19 @@ def main():
         candidates = [1024, 2048]
     else:
         candidates = [1024]
+    # per-device sweet spots: scale the global batch with the mesh
+    candidates = [b * n_dev for b in candidates]
     best = max(time_batch(b) for b in candidates)
 
-    print(json.dumps({
+    out = {
         "metric": "pc1000_sampling_throughput",
         "value": round(best, 2),
-        "unit": "traj/s/chip",
+        "unit": "traj/s/chip" if n_dev == 1 else "traj/s",
         "vs_baseline": round(best / BASELINE_TRAJ_PER_SEC, 2),
-    }))
+    }
+    if n_dev > 1:
+        out["n_devices"] = n_dev
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
