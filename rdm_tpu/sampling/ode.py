@@ -106,6 +106,15 @@ def get_ode_sampler(sde, shape, rtol=1e-5, atol=1e-5, eps=1e-3,
 
         x, nfe = _dopri45(rhs, jnp.asarray(sde.T, jnp.float32),
                           jnp.asarray(eps, jnp.float32), x, rtol, atol)
+        if denoiser_fn is not None:
+            # final trained-denoiser stage, same contract as the PC
+            # sampler's "network" denoiser (pc.py:104-108).  The
+            # reference's ODE path has no denoiser stage at all — this
+            # honours the argument instead of silently ignoring it
+            # (round-1 review, weak item 6).
+            x = jnp.clip(x - denoiser_fn(x, jnp.full((B,), eps, x.dtype)),
+                         0.0, 1.0)
+            nfe = nfe + 1
         return x, nfe
 
     return ode_sampler

@@ -134,3 +134,20 @@ def test_cfg_score_fn_combines(sde):
     jaxpr = _jax.make_jaxpr(
         get_cf_score_fn(sde, model, params, labels, 0.0))(x, t)
     assert "8,9,9" not in str(jaxpr.jaxpr.outvars[0].aval.shape)
+
+
+def test_ode_denoiser_applied(sde):
+    """round-1 weak item 6: ``denoiser_fn`` on the ODE sampler must not be
+    a silent no-op — it runs the trained-denoiser stage (same contract as
+    the PC sampler's "network" denoiser) on the final state."""
+    sampler = get_ode_sampler(sde, SHAPE, eps=1e-3, moll=200, side_eps=1e-2)
+    score_fn = lambda x, t: jnp.zeros_like(x)
+    key = jax.random.PRNGKey(5)
+    x_plain, nfe_plain = sampler(score_fn, key)
+    shift = 0.125
+    x_deno, nfe_deno = sampler(score_fn, key,
+                               denoiser_fn=lambda x, t: jnp.full_like(x, shift))
+    np.testing.assert_allclose(np.asarray(x_deno),
+                               np.clip(np.asarray(x_plain) - shift, 0.0, 1.0),
+                               rtol=1e-6, atol=1e-6)
+    assert int(nfe_deno) == int(nfe_plain) + 1
