@@ -569,12 +569,22 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
         thetas_np = g[:, :NVAR]
         a_np = np.asarray(energies_in, np.float32)
 
-        if n <= batch_tile and n % n_devices:
-            # pad just to the device count so the direct call shards evenly
-            pad = n_devices - n % n_devices
-            thetas_np = np.concatenate([thetas_np,
-                                        np.repeat(thetas_np[-1:], pad, 0)])
-            a_np = np.concatenate([a_np, np.repeat(a_np[-1:], pad)])
+        if n <= batch_tile:
+            # pad to the next power of two (and the device count): every
+            # distinct batch shape costs a full XLA compile of the solver
+            # graph, and MBH hops shrink the batch every round — bucketing
+            # bounds the compile count at log2(batch_tile) shapes
+            target = max(n_devices, 8)
+            while target < n:
+                target *= 2
+            target = min(target, batch_tile)
+            if target % n_devices:
+                target += n_devices - target % n_devices
+            pad = max(target, n) - n
+            if pad:
+                thetas_np = np.concatenate(
+                    [thetas_np, np.repeat(thetas_np[-1:], pad, 0)])
+                a_np = np.concatenate([a_np, np.repeat(a_np[-1:], pad)])
 
         if n > batch_tile:
             outs = []
