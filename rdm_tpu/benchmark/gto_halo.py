@@ -174,6 +174,8 @@ class GTOHaloBenchmarker:
         if backend is None:
             if oracle_lib.PYDYLAN_AVAILABLE:
                 backend = "pydylan"
+            elif _accelerator_present() and oracle_lib.native_available():
+                backend = "hybrid"  # TPU f32 solve + native f64 polish
             elif _accelerator_present():
                 backend = "tpu"     # vmapped LM solver on the accelerator
             elif oracle_lib.native_available():
@@ -201,7 +203,41 @@ class GTOHaloBenchmarker:
             backend=backend)
 
         t0 = time.time()
-        if backend in ("native", "tpu"):
+        if backend == "hybrid":
+            # TPU f32 bulk solve + native f64 polish of near-miss lanes:
+            # f64-grader fidelity at close to accelerator throughput
+            # (BENCH_NOTES.md "f32 vs f64 grading").
+            res = oracle_lib.evaluate_warmstarts_hybrid(
+                samples[:, 1:].astype(np.float64),
+                samples[:, 0].astype(np.float64),
+                max_iters=cfgb.oracle_max_iters,
+                solver_mode=cfgb.solver_mode,
+                mbh_rounds=cfgb.oracle_mbh_rounds,
+                n_threads=cfgb.max_workers or 0)
+            per_sample_time = (time.time() - t0) / max(len(samples), 1)
+            note = ("TPU-batched f32 LM solve of the manifold-insertion "
+                    "NLP + native f64 polish of near-tolerance lanes "
+                    "(pydylan/SNOPT unavailable); feasible = the local "
+                    "solver converged from the sample")
+            results = [{
+                "results.control": res["refined"][i],
+                "feasibility": bool(res["feasible"][i]),
+                "snopt_inform": int(res["inform"][i]),
+                "thrust": 1.0,
+                "solving_time": per_sample_time,
+                "cost_alpha": float(samples[i, 0]),
+                "final_mass": float(res["final_mass"][i]),
+                "terminal_mass": float(res["terminal_mass"][i]),
+            } for i in range(len(samples))]
+            extra = {"oracle_backend": backend,
+                     "oracle_note": note,
+                     "oracle_solver_mode": cfgb.solver_mode,
+                     "oracle_mbh_rounds": cfgb.oracle_mbh_rounds,
+                     "oracle_wall_time_with_compile_s": time.time() - t0,
+                     "mean_refine_iters": float(np.mean(res["iters"])),
+                     "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
+                     "mean_terminal_vel_error": float(np.mean(res["vel_err"]))}
+        elif backend in ("native", "tpu"):
             # ONE batched LM solve of the whole batch: the std::thread
             # fan-out inside the C++ library (the native twin of the
             # reference's ThreadPoolExecutor SNOPT fan-out), or the same

@@ -112,6 +112,8 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
             return self._simulate_native(np.asarray(earth_initial_guess, float))
         if self.backend == "tpu":
             return self._simulate_tpu(np.asarray(earth_initial_guess, float))
+        if self.backend == "hybrid":
+            return self._simulate_hybrid(np.asarray(earth_initial_guess, float))
         return self._simulate_jax(np.asarray(earth_initial_guess, float))
 
     # ------------------------------------------------------------------ #
@@ -212,6 +214,24 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
         from .solver_tpu import refine_warmstarts_tpu
         t0 = time.time()
         res = refine_warmstarts_tpu(
+            np.asarray(guess)[None, :], np.asarray([self.halo_energy]),
+            thrust=self.thrust, n_segments=self.number_of_segments,
+            start_bdry=self.start_bdry,
+            max_shoot=self.maximum_shooting_time,
+            min_shoot=self.minimum_shooting_time,
+            min_manifold_length=self.min_manifold_length,
+            max_manifold_length=self.max_manifold_length,
+            min_mass=self.min_mass_to_sample,
+            max_mass=self.max_mass_to_sample,
+            solver_mode=self.solver_mode)
+        solving_time = time.time() - t0
+        return self._result_from_batch(res, solving_time)
+
+    # ------------------------------------------------------------------ #
+    # Hybrid backend: TPU f32 solve + native f64 polish of near-misses.
+    def _simulate_hybrid(self, guess):
+        t0 = time.time()
+        res = evaluate_warmstarts_hybrid(
             np.asarray(guess)[None, :], np.asarray([self.halo_energy]),
             thrust=self.thrust, n_segments=self.number_of_segments,
             start_bdry=self.start_bdry,
@@ -358,6 +378,52 @@ def _mbh_loop(solve, guesses, energies, rounds: int, sigma: float,
             best[k][take] = np.asarray(sub[k])[better]
         best["iters"][idx] += np.asarray(sub["iters"], np.int64)
     return best
+
+
+def evaluate_warmstarts_hybrid(guesses: np.ndarray, halo_energies: np.ndarray,
+                               polish_iters: int = 10,
+                               polish_window: float = 100.0,
+                               n_threads: int = 0,
+                               **kwargs):
+    """TPU f32 solve + native f64 polish of near-miss lanes.
+
+    The f32 TPU solver leaves a tail of lanes hovering just above the
+    1e-3 residual tolerance (f32 roundoff through the chaotic CR3BP
+    shoot); the f64 C++ solver closes them but is ~100x slower per lane.
+    This backend does the bulk of the work batched on the accelerator,
+    then re-polishes only the lanes whose TPU residual landed within
+    ``polish_window`` x tol (warm-started from the TPU-refined point, so
+    ``polish_iters`` ~ 10 suffices) in f64 on the host — measured to
+    recover the f64 grader's feasible ratio at close to TPU throughput.
+
+    Accepts the same kwargs as :func:`evaluate_warmstarts_native` /
+    ``refine_warmstarts_tpu`` (tol, solver_mode, mbh_rounds, bounds...).
+    """
+    from .solver_tpu import refine_warmstarts_tpu
+
+    tol = kwargs.get("tol", _FEAS_TOL)
+    res = refine_warmstarts_tpu(guesses, halo_energies, **kwargs)
+
+    near = (~res["feasible"]) & np.isfinite(res["cost"]) \
+        & (res["cost"] < polish_window * tol)
+    if near.any():
+        sub_kwargs = dict(kwargs)
+        sub_kwargs["max_iters"] = polish_iters
+        sub_kwargs.pop("mbh_rounds", None)   # polish is a local finish
+        sub_kwargs.pop("batch_tile", None)
+        sub_kwargs.pop("n_devices", None)
+        sub = evaluate_warmstarts_native(
+            res["refined"][near][:, :66], np.asarray(halo_energies)[near],
+            n_threads=n_threads, **sub_kwargs)
+        idx = np.nonzero(near)[0]
+        better = sub["feasible"] | (sub["cost"] < res["cost"][idx])
+        take = idx[better]
+        for k in _MERGEABLE:
+            res[k] = np.asarray(res[k]).copy()
+            res[k][take] = np.asarray(sub[k])[better]
+        res["iters"] = np.asarray(res["iters"], np.int64).copy()
+        res["iters"][idx] += np.asarray(sub["iters"], np.int64)
+    return res
 
 
 # --------------------------------------------------------------------------

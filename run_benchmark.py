@@ -28,7 +28,9 @@ def make_parser():
     p.add_argument("--disable_physical_validation", dest="enable_physical_validation",
                    action="store_false")
     p.add_argument("--oracle_backend", default=None,
-                   choices=[None, "pydylan", "tpu", "native", "jax"])
+                   choices=[None, "pydylan", "hybrid", "tpu", "native", "jax"],
+                   help="default auto: pydylan > hybrid (TPU f32 solve + "
+                        "native f64 polish) > tpu > native > jax")
     p.add_argument("--max_workers", type=int, default=None)
     p.add_argument("--oracle_mbh_rounds", type=int, default=8,
                    help="monotonic basin hops of still-infeasible lanes "

@@ -171,3 +171,26 @@ def test_mbh_monotone_and_deterministic():
     hop2 = evaluate_warmstarts_native(G, he, max_iters=6,
                                       solver_mode="feasible", mbh_rounds=2)
     np.testing.assert_array_equal(hop["refined"], hop2["refined"])
+
+
+def test_hybrid_polish_dominates_f32():
+    """Hybrid backend (f32 batched solve + f64 polish of near-tolerance
+    lanes): never loses a lane relative to the pure f32 solve, never
+    raises a residual, and accumulates polish iterations."""
+    from rdm_tpu.physics.oracle import evaluate_warmstarts_hybrid
+    from rdm_tpu.physics.solver_tpu import refine_warmstarts_tpu
+
+    rng = np.random.default_rng(21)
+    G = rng.uniform(0, 1, (6, 66))
+    G[:, 0] = rng.uniform(15, 35, 6)
+    G[:, 1:3] = rng.uniform(0, 8, (6, 2))
+    G[:, 63] = rng.uniform(408, 470, 6)
+    G[:, 65] = rng.uniform(5, 11, 6)
+    he = rng.uniform(0.01, 0.09, 6)
+
+    f32 = refine_warmstarts_tpu(G, he, max_iters=8, solver_mode="feasible")
+    hyb = evaluate_warmstarts_hybrid(G, he, max_iters=8,
+                                     solver_mode="feasible")
+    assert np.all(hyb["feasible"] >= f32["feasible"])
+    assert np.all(hyb["cost"] <= f32["cost"] + 1e-12)
+    assert np.all(hyb["iters"] >= f32["iters"])
