@@ -71,6 +71,7 @@ def test_inverse_pipeline_roundtrip():
     np.testing.assert_allclose(ctrl[:, :, 2], u, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gto_halo_benchmark_end_to_end(run_dir, tmp_path):
     work_dir, pkl = run_dir
     cfg = GTOHaloBenchmarkConfig(

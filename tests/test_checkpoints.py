@@ -37,6 +37,7 @@ def _advance(state, model, tx, cfg, n=2):
     return state
 
 
+@pytest.mark.slow
 def test_native_roundtrip_lossless(tmp_path, world):
     cfg, model, tx, state = world
     state = _advance(state, model, tx, cfg)
@@ -138,6 +139,7 @@ def test_latest_checkpoint(tmp_path):
     assert checkpoints.latest_checkpoint(str(tmp_path / "none")) is None
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path, world):
     cfg, model, tx, state = world
     state = _advance(state, model, tx, cfg, n=1)

@@ -136,6 +136,7 @@ def test_constraint_loss_types():
                             constraint_loss_type="gt_std")
 
 
+@pytest.mark.slow
 def test_unet1d_shapes_and_cfg():
     model = UNet1D(dim=32, dim_mults=(1, 2, 4), seq_length=67, class_dim=1,
                    embed_class_layers_dims=(32, 32), cond_drop_prob=0.0)
@@ -162,6 +163,7 @@ def test_unet1d_in_registry():
     assert get_model("unet1d") is UNet1D
 
 
+@pytest.mark.slow
 def test_unet1d_end_to_end_ancestral_sampling():
     """Tiny UNet1D + tiny chain: sampling produces the right shape/range."""
     model = UNet1D(dim=16, dim_mults=(1, 2, 4), seq_length=67,
@@ -178,6 +180,7 @@ def test_unet1d_end_to_end_ancestral_sampling():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_unet1d_legacy_forward_parity():
     """Forward parity of UNet1D(legacy=True) against the legacy torch model
     through the weight-import shim (fixtures from

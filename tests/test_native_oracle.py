@@ -57,6 +57,7 @@ def _random_guesses(n, seed=0):
     return g, e
 
 
+@pytest.mark.slow
 def test_evaluate_batch_matches_jax_oracle_ranking():
     from rdm_tpu.physics import oracle
     g, e = _random_guesses(48)

@@ -48,6 +48,7 @@ def test_dp_train_step_shards_batch(world):
     assert leaf.sharding.is_equivalent_to(replicated(mesh), leaf.ndim)
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(world):
     """The DP-sharded step computes the SAME update as the unsharded step
     (gradient all-reduce correctness)."""
@@ -106,6 +107,7 @@ def test_sharded_sampling(world):
     assert (x >= 0).all() and (x <= 1).all()
 
 
+@pytest.mark.slow
 def test_on_device_data_step_matches_host_batch(world):
     """The on-device-gather train step computes the same update as the
     host-batch step for the same minibatch."""

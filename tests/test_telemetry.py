@@ -3,6 +3,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "telemetry"))
 
@@ -57,6 +58,7 @@ def test_cleanup_training_runs(tmp_path, monkeypatch, capsys):
     assert [e.name for e in empty] == ["run_without"]
 
 
+@pytest.mark.slow
 def test_trajectory_plots(tmp_path):
     from trajectory_plots import plot_trajectories
     rng = np.random.default_rng(0)

@@ -18,6 +18,7 @@ def pkl_1d(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(pkl_1d, tmp_path):
     import train_1d
     out = str(tmp_path / "res")

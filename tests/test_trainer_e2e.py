@@ -7,6 +7,8 @@ import re
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rdm_tpu.config import load_config, save_config_snapshot
 from rdm_tpu.data import make_synthetic_gto_pkl
 from rdm_tpu.training import trainer
