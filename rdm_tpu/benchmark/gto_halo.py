@@ -202,19 +202,39 @@ class GTOHaloBenchmarker:
             result_folder=os.path.join(cfgb.output_dir, "cr3bp_results"),
             backend=backend)
 
+        # Steady-timing policy for the XLA-compiled backends: the first
+        # call pays one-time compilation, so `avg_solving_time` from it is
+        # not comparable with the reference's per-SNOPT seconds (VERDICT
+        # round-1 item 9).  Re-running the identical call reuses the
+        # compiled executable and measures steady time, but doubles the
+        # oracle work — acceptable up to this batch size, beyond which we
+        # report the first-call time and flag that it includes compile.
+        _RERUN_CAP = 2048
+
+        def _steady_time(solve_again):
+            if len(samples) > _RERUN_CAP:
+                return None
+            t1 = time.time()
+            solve_again()
+            return (time.time() - t1) / max(len(samples), 1)
+
         t0 = time.time()
         if backend == "hybrid":
             # TPU f32 bulk solve + native f64 polish of near-miss lanes:
             # f64-grader fidelity at close to accelerator throughput
             # (BENCH_NOTES.md "f32 vs f64 grading").
-            res = oracle_lib.evaluate_warmstarts_hybrid(
-                samples[:, 1:].astype(np.float64),
-                samples[:, 0].astype(np.float64),
-                max_iters=cfgb.oracle_max_iters,
-                solver_mode=cfgb.solver_mode,
-                mbh_rounds=cfgb.oracle_mbh_rounds,
-                n_threads=cfgb.max_workers or 0)
-            per_sample_time = (time.time() - t0) / max(len(samples), 1)
+            def _solve_hybrid():
+                return oracle_lib.evaluate_warmstarts_hybrid(
+                    samples[:, 1:].astype(np.float64),
+                    samples[:, 0].astype(np.float64),
+                    max_iters=cfgb.oracle_max_iters,
+                    solver_mode=cfgb.solver_mode,
+                    mbh_rounds=cfgb.oracle_mbh_rounds,
+                    n_threads=cfgb.max_workers or 0)
+
+            res = _solve_hybrid()
+            first_per_sample = (time.time() - t0) / max(len(samples), 1)
+            per_sample_time = _steady_time(_solve_hybrid) or first_per_sample
             note = ("TPU-batched f32 LM solve of the manifold-insertion "
                     "NLP + native f64 polish of near-tolerance lanes "
                     "(pydylan/SNOPT unavailable); feasible = the local "
@@ -234,6 +254,9 @@ class GTOHaloBenchmarker:
                      "oracle_solver_mode": cfgb.solver_mode,
                      "oracle_mbh_rounds": cfgb.oracle_mbh_rounds,
                      "oracle_wall_time_with_compile_s": time.time() - t0,
+                     "avg_solving_time_includes_compile":
+                         backend in ("tpu", "hybrid")
+                         and len(samples) > _RERUN_CAP,
                      "mean_refine_iters": float(np.mean(res["iters"])),
                      "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
                      "mean_terminal_vel_error": float(np.mean(res["vel_err"]))}
@@ -258,28 +281,22 @@ class GTOHaloBenchmarker:
                 per_sample_time = (time.time() - t0) / max(len(samples), 1)
             else:
                 from rdm_tpu.physics.solver_tpu import refine_warmstarts_tpu
-                res = refine_warmstarts_tpu(
-                    samples[:, 1:].astype(np.float32),
-                    samples[:, 0].astype(np.float32),
-                    max_iters=cfgb.oracle_max_iters,
-                    solver_mode=cfgb.solver_mode,
-                    mbh_rounds=cfgb.oracle_mbh_rounds)
+
+                def _solve_tpu():
+                    return refine_warmstarts_tpu(
+                        samples[:, 1:].astype(np.float32),
+                        samples[:, 0].astype(np.float32),
+                        max_iters=cfgb.oracle_max_iters,
+                        solver_mode=cfgb.solver_mode,
+                        mbh_rounds=cfgb.oracle_mbh_rounds)
+
+                res = _solve_tpu()
                 note = ("TPU-batched Levenberg-Marquardt local solve of the "
                         "manifold-insertion NLP for each warm start "
                         "(pydylan/SNOPT unavailable); feasible = the local "
                         "solver converged from the sample")
-                # the first call pays one-time XLA compilation: re-run the
-                # (now compiled) batch and report the steady per-sample
-                # time so `avg_solving_time` is comparable with the
-                # reference's per-SNOPT seconds (VERDICT round-1 item 9)
-                t1 = time.time()
-                refine_warmstarts_tpu(
-                    samples[:, 1:].astype(np.float32),
-                    samples[:, 0].astype(np.float32),
-                    max_iters=cfgb.oracle_max_iters,
-                    solver_mode=cfgb.solver_mode,
-                    mbh_rounds=cfgb.oracle_mbh_rounds)
-                per_sample_time = (time.time() - t1) / max(len(samples), 1)
+                first_per_sample = (time.time() - t0) / max(len(samples), 1)
+                per_sample_time = _steady_time(_solve_tpu) or first_per_sample
             results = [{
                 "results.control": res["refined"][i],
                 "feasibility": bool(res["feasible"][i]),
@@ -298,6 +315,9 @@ class GTOHaloBenchmarker:
                      "oracle_solver_mode": cfgb.solver_mode,
                      "oracle_mbh_rounds": cfgb.oracle_mbh_rounds,
                      "oracle_wall_time_with_compile_s": time.time() - t0,
+                     "avg_solving_time_includes_compile":
+                         backend in ("tpu", "hybrid")
+                         and len(samples) > _RERUN_CAP,
                      "mean_refine_iters": float(np.mean(res["iters"])),
                      "mean_terminal_pos_error": float(np.mean(res["pos_err"])),
                      "mean_terminal_vel_error": float(np.mean(res["vel_err"]))}

@@ -11,6 +11,7 @@ see ``get_halo_period``).
 """
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 from typing import List
@@ -53,8 +54,14 @@ def _halo_period_fallback(halo_energy: float) -> float:
     return float(period0 * (1.0 + 0.6 * halo_energy))
 
 
+@functools.lru_cache(maxsize=4096)
 def get_halo_period(halo_energy: float) -> float:
     """Orbit period of the L1 halo at ``E_L1 + halo_energy``.
+
+    Memoised: dataset preparation calls this once per ROW but there are
+    only a handful of distinct energies (the reference's 11 alpha
+    slices), and with pydylan installed each miss is a full
+    differential-correction orbit solve.
 
     pydylan when installed (reference semantics,
     ``prepare_training_data.py:23-34``); otherwise the framework's own

@@ -459,7 +459,7 @@ int lm_refine(double* g, const Problem& p, const HaloData& h, int max_iters,
         trial[v] += dv;
       }
       clamp_vars(trial, p.n_segments, p.max_shoot, p.max_coast, p.min_shoot,
-                 h.min_mani, h.max_mani);
+                 h.min_mani, h.max_mani, p.mass_min, p.mass_max);
       double rt[NRES];
       residual7(trial, p.n_segments, p.thrust, p.spiral_end, h, rt);
       const double ct = norm_res(rt);
@@ -558,7 +558,7 @@ int ratchet_refine(double* g, const Problem& p, const HaloData& h,
         trial[v] += dv;
       }
       clamp_vars(trial, p.n_segments, p.max_shoot, p.max_coast, p.min_shoot,
-                 h.min_mani, h.max_mani);
+                 h.min_mani, h.max_mani, p.mass_min, p.mass_max);
       residual7(trial, p.n_segments, p.thrust, p.spiral_end, h, rt);
       const double c7t = norm_res(rt);
       const double m8 = has_b ? (m_tgt - trial[63]) / MASS_SCALE : 0.0;

@@ -245,12 +245,19 @@ class CR3BPEarthMissionWarmstartSimulatorBoundary:
         solving_time = time.time() - t0
         return self._result_from_batch(res, solving_time)
 
+    # Shooting evaluations per LM iteration, for honest
+    # snopt_control_evaluations reporting: native = 66-column structured
+    # finite differences + ladder trials (~70); tpu/hybrid = 7 jacrev
+    # cotangent sweeps + 8 ladder trials (solver_tpu._N_SHOOTS_PER_ITER).
+    _SHOOTS_PER_ITER = {"native": 70, "tpu": 15, "hybrid": 15}
+
     def _result_from_batch(self, res, solving_time):
+        spi = self._SHOOTS_PER_ITER.get(self.backend, 66)
         return {
             # like SNOPT, the local solvers return the SOLVED control state
             "results.control": res["refined"][0],
             "feasibility": bool(res["feasible"][0]),
-            "snopt_control_evaluations": int(res["iters"][0]) * 66,
+            "snopt_control_evaluations": int(res["iters"][0]) * spi,
             "snopt_inform": int(res["inform"][0]),
             "thrust": self.thrust,
             "solving_time": solving_time,

@@ -49,21 +49,6 @@ ALPHAS = np.linspace(0.0, 1.0, 11)
 HE_OF_ALPHA = 0.008 + ALPHAS * (0.095 - 0.008)
 
 
-def _box(min_shoot, max_shoot, max_coast, min_mass, max_mass,
-         min_mani, max_mani):
-    lo = np.zeros(NVAR)
-    hi = np.zeros(NVAR)
-    lo[0], hi[0] = max(1e-3, min_shoot), max_shoot
-    lo[1:3], hi[1:3] = 0.0, max_coast
-    for k in range(N_SEG):
-        lo[3 + 3 * k: 6 + 3 * k] = [0.0, 0.0, 0.0]
-        hi[3 + 3 * k: 6 + 3 * k] = [2 * np.pi, 2 * np.pi, 1.0]
-    lo[63], hi[63] = min_mass, max_mass
-    lo[64], hi[64] = 0.0, 1.0
-    lo[65], hi[65] = min_mani, max_mani
-    return lo, hi
-
-
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--target", type=int, default=80_000,
@@ -93,9 +78,11 @@ def main(argv=None):
                         "is possible (keeps discovering new basins)")
     args = p.parse_args(argv)
 
+    from rdm_tpu.physics.oracle import nlp_box
     from rdm_tpu.physics.solver_tpu import refine_warmstarts_tpu
 
-    lo, hi = _box(0.0, 40.0, 15.0, args.min_mass, args.max_mass, 5.0, 11.0)
+    lo, hi = nlp_box(N_SEG, 40.0, 15.0, 0.0, 5.0, 11.0,
+                     args.min_mass, args.max_mass)
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
     state_path = args.state or os.path.join(args.out_dir, "datagen_state.npz")
