@@ -44,6 +44,53 @@ from .state import init_train_state
 SAMPLING_EPS = 1e-5  # reference run_train.py:105
 
 
+class _StallWatchdog:
+    """Kill the process when the training loop stops making progress.
+
+    A hung device call on a remote/tunnelled accelerator never returns
+    and never raises, so no in-process recovery exists: the ONLY way to
+    resume is process death + restart from the rolling meta checkpoint
+    (which ``run`` already restores by default).  Observed in production:
+    the tunnelled TPU stalled twice during one 100k-step run, freezing
+    the loop mid-step for 30+ minutes each time.
+
+    Enable with ``training.stall_timeout_s`` (0 = off).  The watchdog
+    exits with status 17 so a supervising loop (``launch/
+    train_with_resume.sh``) can distinguish a stall from a crash.
+    """
+
+    EXIT_CODE = 17
+
+    def __init__(self, timeout_s: float, logger):
+        import threading
+
+        self.timeout_s = timeout_s
+        self._logger = logger
+        self._beat = time.time()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+        self._thread.start()
+
+    def beat(self):
+        self._beat = time.time()
+
+    def stop(self):
+        self._stop.set()
+
+    def _watch(self):
+        while not self._stop.wait(min(30.0, self.timeout_s / 4)):
+            stalled = time.time() - self._beat
+            if stalled > self.timeout_s:
+                self._logger.error(
+                    "STALL WATCHDOG: no training progress for %.0f s "
+                    "(device call hung?); exiting %d for supervised "
+                    "restart from the meta checkpoint.",
+                    stalled, self.EXIT_CODE)
+                for h in self._logger.handlers:
+                    h.flush()
+                os._exit(self.EXIT_CODE)
+
+
 def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
     sample_dir = os.path.join(work_dir, "samples")
     checkpoint_dir = os.path.join(work_dir, "checkpoints")
@@ -130,9 +177,15 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
     rng = jax.random.fold_in(rng, jax.process_index())
 
+    stall_timeout = float(cfg.training.get("stall_timeout_s", 0) or 0)
+    watchdog = (_StallWatchdog(stall_timeout, logger)
+                if stall_timeout > 0 else None)
+
     first = True
     t_last = time.time()
     for step in range(initial_step, num_train_steps + 1):
+        if watchdog is not None:
+            watchdog.beat()
         rng, k = jax.random.split(rng)
         if device_data is not None:
             d_imgs, d_lbls, lbls_np = device_data
@@ -183,6 +236,9 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
             dt = time.time() - t_last
             mprint(f"snapshot at step {step} done ({dt:.1f}s since last)")
             t_last = time.time()
+
+    if watchdog is not None:
+        watchdog.stop()
 
 
 def _save_grid(sample: np.ndarray, path: str, max_tiles: int = 64) -> None:

@@ -71,3 +71,26 @@ def test_resume_from_meta(tiny_run):
     trainer.run(cfg, work_dir)
     log = open(os.path.join(work_dir, "logs")).read()
     assert "Starting training loop at step 5." in log
+
+
+def test_stall_watchdog_fires(tmp_path):
+    """A stalled loop (no heartbeat) must terminate the process with the
+    watchdog's dedicated exit code so launch/train_with_resume.sh can
+    restart from the meta checkpoint."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import logging, time\n"
+        "from rdm_tpu.training.trainer import _StallWatchdog\n"
+        "log = logging.getLogger('t'); log.addHandler(logging.NullHandler())\n"
+        "w = _StallWatchdog(1.0, log)\n"
+        "w.beat()\n"
+        "time.sleep(30)\n"  # never beats again -> watchdog should kill us
+        "print('should not reach here')\n"
+    )
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120)
+    assert p.returncode == 17, (p.returncode, p.stdout, p.stderr)
+    assert "should not reach here" not in p.stdout
