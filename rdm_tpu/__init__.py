@@ -51,10 +51,19 @@ def _enable_compilation_cache() -> None:
             return
         finger = jax.__version__ + platform.machine()
         try:
+            # flags alone are not enough: LLVM derives tuning features
+            # (prefer-no-gather/scatter) from the CPU *model*, so two
+            # hosts with identical flag lines can still produce
+            # incompatible AOT entries.
+            got = set()
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
+                    key = line.split(":", 1)[0].strip()
+                    if key in ("flags", "model name", "model", "cpu family") \
+                            and key not in got:
+                        got.add(key)
                         finger += line
+                    if len(got) == 4:
                         break
         except OSError:
             finger += platform.processor()

@@ -103,11 +103,33 @@ def main():
     p.add_argument("--ref_batch", type=int, default=64)
     p.add_argument("--our_batch", type=int, default=1024)
     p.add_argument("--steps", type=int, default=1000)
+    # The two halves run on different devices (ours: TPU, reference:
+    # CPU torch) and at very different speeds; --ref_cache lets each be
+    # produced independently and the comparison resumed later.
+    p.add_argument("--ref_cache", default=None,
+                   help="npy path: reuse reference samples if it exists, "
+                        "else write them there after sampling")
+    p.add_argument("--ref_only", action="store_true",
+                   help="only produce the reference-side cache, then exit")
     args = p.parse_args()
+
+    ref = None
+    if args.ref_cache and os.path.exists(args.ref_cache):
+        ref = np.load(args.ref_cache)
+        print(f"reference: loaded {ref.shape} from {args.ref_cache}")
+    if args.ref_only:
+        if ref is None:
+            ref = sample_reference(args.checkpoint, args.ref_batch, args.steps)
+            np.save(args.ref_cache, ref)
+        print(f"reference: {ref.shape} mean {ref.mean():.4f} std {ref.std():.4f}")
+        return
 
     ours = sample_ours(args.checkpoint, args.our_batch, args.steps)
     print(f"ours: {ours.shape} mean {ours.mean():.4f} std {ours.std():.4f}")
-    ref = sample_reference(args.checkpoint, args.ref_batch, args.steps)
+    if ref is None:
+        ref = sample_reference(args.checkpoint, args.ref_batch, args.steps)
+        if args.ref_cache:
+            np.save(args.ref_cache, ref)
     print(f"reference: {ref.shape} mean {ref.mean():.4f} std {ref.std():.4f}")
 
     from scipy.stats import ks_2samp
