@@ -36,6 +36,7 @@ def test_adm_forward_parity():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_adm_param_count():
     g = _load("adm_golden.npz")
     model = ADM(img_resolution=16, in_channels=3, out_channels=3, label_dim=10,
@@ -60,6 +61,7 @@ def test_vdm_forward_parity():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_wrapped_adm_one_hot_and_sigma_scaling():
     m = WrappedADM(img_resolution=16, num_channels=3, num_classes=10,
                    model_channels=32, channel_mult=(1, 2), channel_mult_emb=2,

@@ -106,6 +106,7 @@ def test_gto_halo_benchmark_end_to_end(run_dir, tmp_path):
     assert (saved[:, 0] >= 0.008 - 1e-6).all() and (saved[:, 0] <= 0.095 + 1e-6).all()
 
 
+@pytest.mark.slow
 def test_ml_statistics_end_to_end(run_dir, tmp_path):
     work_dir, pkl = run_dir
     cfg = MLStatisticsConfig(
@@ -126,6 +127,7 @@ def test_ml_statistics_end_to_end(run_dir, tmp_path):
     assert "standard_metrics" in data
 
 
+@pytest.mark.slow
 def test_run_benchmark_cli(run_dir, tmp_path):
     work_dir, pkl = run_dir
     import run_benchmark as rb

@@ -174,6 +174,7 @@ def test_mbh_monotone_and_deterministic():
     np.testing.assert_array_equal(hop["refined"], hop2["refined"])
 
 
+@pytest.mark.slow
 def test_hybrid_polish_dominates_f32():
     """Hybrid backend (f32 batched solve + f64 polish of near-tolerance
     lanes): never loses a lane relative to the pure f32 solve, never

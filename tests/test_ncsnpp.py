@@ -46,6 +46,7 @@ def test_output_shape(model, init_params):
     assert out.shape == (3, 9, 9, 1)
 
 
+@pytest.mark.slow
 def test_fresh_init_outputs_near_zero(model, init_params):
     # The output conv is near-zero-init (init_scale=0 -> variance 1e-10,
     # i.e. weights ~3e-6, reference layers.py:73-77), so a fresh model
@@ -115,6 +116,7 @@ def test_jit_and_grad(model, init_params):
     assert float(jnp.abs(g["time_embed"]["W"]).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_ddpmpp_config_builds():
     """The CIFAR ddpmpp config path builds and forward-runs (scaled-down nf
     for CPU speed; topology/attn schedule preserved: 4 levels, attn@16)."""

@@ -46,6 +46,7 @@ def test_fused_resblock_matches_module(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_resblock_grads_match(setup):
     cin, cout, x, temb, blk, params = setup
 

@@ -10,6 +10,7 @@ from rdm_tpu.data import make_synthetic_gto_pkl
 from rdm_tpu.training import trainer
 
 
+@pytest.mark.slow
 def test_run_vis_end_to_end(tmp_path, monkeypatch):
     pkl = make_synthetic_gto_pkl(str(tmp_path / "train.pkl"), n=64, seed=0)
     cfg = load_config("train", overrides=[

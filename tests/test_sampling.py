@@ -98,6 +98,7 @@ def test_get_sampling_fn_dispatch(sde):
         get_sampling_fn(cfg, sde, SHAPE, eps=1e-3)
 
 
+@pytest.mark.slow
 def test_cfg_score_fn_combines(sde):
     """CFG combination rule (1+w) s_cond - w s_uncond with per-sample w."""
     from rdm_tpu.models.registry import get_cf_score_fn

@@ -40,6 +40,7 @@ def test_train_cli_end_to_end(pkl_1d, tmp_path):
     assert all(np.isfinite(train_losses))
 
 
+@pytest.mark.slow
 def test_sample_cli_end_to_end(pkl_1d, tmp_path):
     import train_1d
     import sample_1d

@@ -40,6 +40,7 @@ def test_loss_is_finite_positive(setup):
     assert np.isfinite(float(loss)) and float(loss) > 0
 
 
+@pytest.mark.slow
 def test_fresh_model_loss_magnitude(setup):
     # With a ~zero-output fresh model, loss ~= E[0.5 sum sigma^2 |score_hk|^2].
     # The reference logs ~20.9 at step 0 with the full model (BASELINE.md);
@@ -53,6 +54,7 @@ def test_fresh_model_loss_magnitude(setup):
     assert 1.0 < loss < 500.0
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_overfits(setup):
     cfg, sde, model, tx, state = setup
     step_fn = jax.jit(make_train_step(sde, model, tx))
