@@ -19,8 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # Default to the shipped round-2 flagship; the recorded study in
+    # BENCH_NOTES.md ran on the (now untracked) corrected-pipeline run
+    # "Training Runs/2026.08.17_015546" — pass any run dir to reproduce.
     run_dir = sys.argv[1] if len(sys.argv) > 1 else \
-        "Training Runs/2026.08.17_015546"
+        "Training Runs/2026.08.17_184657"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 
     from rdm_tpu.benchmark.common import LoadedModel, generate_raw_samples
