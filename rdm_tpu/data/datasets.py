@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import warnings
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -68,6 +69,20 @@ class GTOHaloImageDataset:
         padded = np.zeros((n, 81), np.float32)
         padded[:, :d] = data
         padded = (padded - self.mean) / self.std
+        # The reflected SDE lives on [0,1]^D: standardisation that moves
+        # training data outside the cube (the reference-faithful default,
+        # see class docstring) silently degrades the model.  Warn on the
+        # REAL data columns (the 67->81 zero-padding is standardised too,
+        # but carries no signal).
+        frac_out = float(((padded[:, :d] < 0.0) | (padded[:, :d] > 1.0)).mean())
+        if frac_out > 0.01:
+            warnings.warn(
+                f"GTOHaloImageDataset: standardisation (mean={self.mean}, "
+                f"std={self.std}) pushed {frac_out:.0%} of training values "
+                f"outside the reflected SDE's [0,1] domain — this is the "
+                f"reference-faithful but degraded configuration.  Set "
+                f"data.gto_mean=0 data.gto_std=1 to train on the unit cube "
+                f"as designed (see README quickstart).", stacklevel=2)
         self.images = padded.reshape(n, 9, 9, 1)  # NHWC
 
     def __len__(self):

@@ -490,7 +490,8 @@ def evaluate_warmstarts_native(guesses: np.ndarray, halo_energies: np.ndarray,
                                mbh_rounds: int = 0,
                                mbh_sigma: float = 0.05,
                                mbh_seed: int = 0,
-                               n_threads: int = 0):
+                               n_threads: int = 0,
+                               spiral_end: Optional[np.ndarray] = None):
     """Grade [N, 66] warm starts with the native C++ solver.
 
     With ``refine=True`` each guess is locally solved (Levenberg-
@@ -509,7 +510,15 @@ def evaluate_warmstarts_native(guesses: np.ndarray, halo_energies: np.ndarray,
 
     guesses = np.ascontiguousarray(guesses, np.float64)
     energies = np.ascontiguousarray(halo_energies, np.float64)
-    spiral_end, _l1x, _e_l1 = _mission_constants(start_bdry)
+    if spiral_end is None:
+        spiral_end, _l1x, _e_l1 = _mission_constants(start_bdry)
+    else:
+        # explicit start boundary state (f64[7] pos/vel/mass) — used by the
+        # spiral-boundary sensitivity study to measure how modelling error
+        # in the GTO-spiral stand-in (physics/cr3bp.py:166-207) propagates
+        # into feasibility numbers.
+        spiral_end = np.ascontiguousarray(spiral_end, np.float64)
+        assert spiral_end.shape == (7,)
     optimal = str(solver_mode) != "feasible"
 
     if refine:

@@ -61,13 +61,21 @@ def get_optimizer(config):
 
 def get_loss_fn(sde, model, train: bool, reduce_mean: bool = True,
                 likelihood_weighting: bool = True, eps: float = 1e-5):
-    """Returns ``loss_fn(params, batch, class_labels, rng) -> scalar``."""
+    """Returns ``loss_fn(params, batch, class_labels, rng) -> scalar``.
 
-    def loss_fn(params, batch, class_labels, rng):
+    ``loss_fn`` accepts optional keyword overrides ``t``/``z`` replacing
+    the in-step draws — used by the cross-framework training-dynamics
+    parity test to feed the exact noise sequence the reference's torch
+    loss drew (``losses.py:80-81``) into this step.
+    """
+
+    def loss_fn(params, batch, class_labels, rng, t=None, z=None):
         kt, kz, kd, kc = jax.random.split(rng, 4)
         B = batch.shape[0]
-        t = jax.random.uniform(kt, (B,), batch.dtype, eps, sde.T)
-        z = jax.random.normal(kz, batch.shape, batch.dtype)
+        if t is None:
+            t = jax.random.uniform(kt, (B,), batch.dtype, eps, sde.T)
+        if z is None:
+            z = jax.random.normal(kz, batch.shape, batch.dtype)
         mean, std = sde.marginal_prob(batch, t)
         perturbed = cube.reflect(mean + _bcast(std, batch) * z)
 
@@ -127,8 +135,9 @@ def make_train_step(sde, model, tx, reduce_mean=False, likelihood_weighting=Fals
     loss_fn = get_loss_fn(sde, model, train=True, reduce_mean=reduce_mean,
                           likelihood_weighting=likelihood_weighting)
 
-    def step_fn(state: TrainState, batch, class_labels, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, class_labels, rng)
+    def step_fn(state: TrainState, batch, class_labels, rng, t=None, z=None):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
+                                                  class_labels, rng, t=t, z=z)
         return _guarded_update(state, loss, grads, tx), loss
 
     return step_fn

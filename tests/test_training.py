@@ -54,6 +54,33 @@ def test_fresh_model_loss_magnitude(setup):
     assert 1.0 < loss < 500.0
 
 
+def test_loss_decreases_fast(setup):
+    """Core-tier gradient-flow canary (a zeroed-gradient or broken
+    optimizer regression must not survive the fast tier): a few steps on
+    one fixed batch must lower the loss at a FIXED (t, z) probe — the
+    injected-noise probe removes the random-t variance that makes the
+    full overfit test (below, slow tier) need 60 steps."""
+    cfg, sde, model, tx, state = setup
+    step_fn = jax.jit(make_train_step(sde, model, tx))
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 9, 9, 1)) * 0.9 + 0.05
+    labels = batch[:, 0, 0, :]
+    t_probe = jnp.full((16,), 0.3)
+    z_probe = jax.random.normal(jax.random.PRNGKey(2), batch.shape)
+
+    probe_fn = get_loss_fn(sde, model, train=False, reduce_mean=False,
+                           likelihood_weighting=False)
+    probe = jax.jit(lambda p: probe_fn(p, batch, labels, jax.random.PRNGKey(0),
+                                       t=t_probe, z=z_probe))
+    before = float(probe(state.params))
+    key = jax.random.PRNGKey(42)
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        state, loss = step_fn(state, batch, labels, k)
+        assert np.isfinite(float(loss))
+    after = float(probe(state.params))
+    assert after < before, (before, after)
+
+
 @pytest.mark.slow
 def test_train_step_updates_and_overfits(setup):
     cfg, sde, model, tx, state = setup
