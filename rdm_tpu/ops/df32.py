@@ -99,6 +99,52 @@ def _two_prod(a, b):
 
 
 # --------------------------------------------------------------------- #
+# backend self-check
+#
+# Dekker's transforms need every rounded product used CONSISTENTLY: a
+# backend that contracts mul->add/sub chains into FMAs at instruction
+# selection substitutes the exact product in some uses and silently
+# deletes the compensation terms.  XLA:TPU does not contract (verified:
+# 1024-step RK4 tracks host f64 to 3e-13).  XLA:CPU's O2/O3 codegen DOES
+# on AVX hosts — the HLO and LLVM IR stay faithful, but the emitted .o
+# contains vfnmadd (measured: jit(sqr) lo-word error = hi^2 * 2^-24
+# exactly).  No HLO-level guard survives to instruction selection:
+# ``optimization_barrier`` is stripped by a CPU pass, a bitcast
+# round-trip is simplified away, and xor-of-sign-bit pairs still left
+# other contraction sites live.  The working mitigations are
+# ``XLA_FLAGS=--xla_cpu_max_isa=SSE4_2`` (no FMA in the ISA; what
+# tests/conftest.py sets) or ``--xla_backend_optimization_level=0``.
+# ``eft_selfcheck`` lets precision-critical callers fail loudly instead
+# of silently grading with a broken number system.
+
+_EFT_OK = None
+
+
+def eft_selfcheck() -> bool:
+    """True iff the jit-compiled error-free transforms are exact on the
+    current default backend (cached per process)."""
+    global _EFT_OK
+    if _EFT_OK is None:
+        a = const(np.float64(0.832150584269940356))
+        got = float(to_f64(jax.jit(sqr)(a)))
+        want = float(to_f64(a)) ** 2
+        _EFT_OK = bool(abs(got - want) < 1e-12)
+    return _EFT_OK
+
+
+def require_exact_eft(context: str = "df32"):
+    """Raise with remediation if the backend breaks the EFTs."""
+    if not eft_selfcheck():
+        raise RuntimeError(
+            f"{context}: this XLA backend contracts mul+add into FMA at "
+            "instruction selection, which breaks double-float32 "
+            "arithmetic (see rdm_tpu/ops/df32.py).  On CPU, set "
+            "XLA_FLAGS=--xla_cpu_max_isa=SSE4_2 (or "
+            "--xla_backend_optimization_level=0) before the first jax "
+            "import.  TPU backends are unaffected.")
+
+
+# --------------------------------------------------------------------- #
 # arithmetic
 
 def add(a: DF, b: DF) -> DF:

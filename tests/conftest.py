@@ -13,7 +13,13 @@ environment here is too late — we must override the config value itself
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # AVX FMA contraction at instruction selection breaks the
+    # double-float32 error-free transforms (rdm_tpu/ops/df32.py: the
+    # backend self-check note); capping the ISA at SSE4.2 removes FMA
+    # from codegen entirely while keeping O3.
+    + " --xla_cpu_max_isa=SSE4_2"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 

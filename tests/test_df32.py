@@ -84,6 +84,13 @@ def test_sincos():
     assert np.max(np.abs(df32.to_f64(one) - 1.0)) < 1e-12
 
 
+def test_eft_selfcheck_passes():
+    """The conftest caps the CPU ISA at SSE4.2 so codegen cannot emit
+    FMAs; this canary fails if that protection ever stops working (see
+    the backend self-check note in df32.py)."""
+    assert df32.eft_selfcheck()
+
+
 def test_const_roundtrip_exact():
     x = np.array([np.pi, 1e-7, 384400.0, -0.0121505856])
     assert np.all(df32.to_f64(df32.const(x)) == x.astype(np.float64)
