@@ -71,6 +71,11 @@ class GTOHaloBenchmarkConfig:
     # SNOPT runs under MBH, cr3bp_...warmstart.py:176); 8 hops x 30 LM
     # iters is a few hundred shoots/sample vs SNOPT's 15000-iter budget
     oracle_mbh_rounds: int = 8
+    # solver arithmetic for the "tpu" backend: "df32" (default) runs the
+    # mixed-precision polish so on-device grading matches the f64 C++
+    # oracle's semantics (solver_tpu.py mixed-precision section); "f32"
+    # is the round-2 behaviour (faster, floors at kappa * 2^-24)
+    oracle_precision: str = "df32"
 
 
 class GTOHaloBenchmarker:
@@ -288,12 +293,14 @@ class GTOHaloBenchmarker:
                         samples[:, 0].astype(np.float32),
                         max_iters=cfgb.oracle_max_iters,
                         solver_mode=cfgb.solver_mode,
-                        mbh_rounds=cfgb.oracle_mbh_rounds)
+                        mbh_rounds=cfgb.oracle_mbh_rounds,
+                        precision=cfgb.oracle_precision)
 
                 res = _solve_tpu()
                 note = ("TPU-batched Levenberg-Marquardt local solve of the "
                         "manifold-insertion NLP for each warm start "
-                        "(pydylan/SNOPT unavailable); feasible = the local "
+                        f"({cfgb.oracle_precision} arithmetic; "
+                        "pydylan/SNOPT unavailable); feasible = the local "
                         "solver converged from the sample")
                 first_per_sample = (time.time() - t0) / max(len(samples), 1)
                 per_sample_time = _steady_time(_solve_tpu) or first_per_sample
@@ -314,6 +321,12 @@ class GTOHaloBenchmarker:
                      "oracle_note": note,
                      "oracle_solver_mode": cfgb.solver_mode,
                      "oracle_mbh_rounds": cfgb.oracle_mbh_rounds,
+                     # grading arithmetic actually used: native is host
+                     # f64; tpu is the configured precision (df32 default
+                     # matches f64 semantics, f32 floors at kappa*2^-24)
+                     "oracle_grading_precision":
+                         "f64" if backend == "native"
+                         else cfgb.oracle_precision,
                      "oracle_wall_time_with_compile_s": time.time() - t0,
                      "avg_solving_time_includes_compile":
                          backend in ("tpu", "hybrid")

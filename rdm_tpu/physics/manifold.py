@@ -127,6 +127,21 @@ def propagate_with_tangent(s0, v0, tof, n_steps: int):
     return s, v
 
 
+def manifold_target_from_data(state0, period, vs, tau_frac, length,
+                              n_halo_steps: int = N_HALO_STEPS,
+                              n_manifold_steps: int = N_MANIFOLD_STEPS):
+    """:func:`manifold_target` from PRE-INTERPOLATED family data
+    (seed state / period / stable eigenvector) — the same per-sample
+    inputs the C++ oracle receives (``native/__init__.py:_halo_arrays``).
+    Used by the mixed-precision solver so its f32 Jacobian twin and df32
+    residual share one halo-data source."""
+    tau = jnp.clip(tau_frac, 0.0, 1.0) * period
+    x_tau, v_tau = propagate_with_tangent(state0, vs, tau, n_halo_steps)
+    v_tau = v_tau / (jnp.linalg.norm(v_tau) + 1e-30)
+    seed = x_tau + jnp.float32(_halo.MANIFOLD_EPS) * v_tau
+    return propagate_ballistic(seed, -length, n_manifold_steps)
+
+
 def manifold_target(alpha, tau_frac, length,
                     n_halo_steps: int = N_HALO_STEPS,
                     n_manifold_steps: int = N_MANIFOLD_STEPS):
@@ -137,11 +152,8 @@ def manifold_target(alpha, tau_frac, length,
 
     Differentiable in all three arguments; vmap over a batch."""
     state0, period, vs = interp_seed_jnp(alpha)
-    tau = jnp.clip(tau_frac, 0.0, 1.0) * period
-    x_tau, v_tau = propagate_with_tangent(state0, vs, tau, n_halo_steps)
-    v_tau = v_tau / (jnp.linalg.norm(v_tau) + 1e-30)
-    seed = x_tau + jnp.float32(_halo.MANIFOLD_EPS) * v_tau
-    return propagate_ballistic(seed, -length, n_manifold_steps)
+    return manifold_target_from_data(state0, period, vs, tau_frac, length,
+                                     n_halo_steps, n_manifold_steps)
 
 
 def manifold_target_batch(alphas, tau_fracs, lengths):

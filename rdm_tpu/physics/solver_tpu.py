@@ -405,6 +405,390 @@ def _ratchet_loop(res_fn, clamp, theta0, base_iters, total_iters, tol):
     return theta_f, r_f, c_f, it, gain, has_b
 
 
+# ===================================================================== #
+# mixed-precision (df32) refinement
+#
+# The plain-f32 solver's residual floor on a lane is kappa * 2^-24 where
+# kappa is the transfer's sensitivity (1e3-1e5 across the family): on
+# high-kappa lanes that floor sits ABOVE the 1e-3 feasibility tolerance,
+# so the f64 C++ grader converges lanes the f32 TPU solver cannot —
+# round 2's measured f32-vs-f64 grading gap (0.766 vs 0.988 on the
+# flagship samples; BENCH_NOTES "f32 vs f64 grading").
+#
+# ``precision="df32"`` fixes this ON-DEVICE with mixed-precision
+# iterative refinement (the classic low/high-precision Newton split):
+#   * Jacobians, the damped-normal-equation solves, and all accept/
+#     reject logic stay f32 — LM tolerates an approximate Jacobian;
+#   * the ITERATE and every residual evaluation run in double-float32
+#     (rdm_tpu/ops/df32.py + physics/dynamics_df.py): ~2^-48 effective
+#     mantissa on the f32 VPU, dropping the residual floor to
+#     kappa * 2^-48, far below tolerance on every lane in the family;
+#   * per-lane halo family data enters as exact two-word splits of the
+#     HOST f64 interpolation (halo.interp_seed) — the identical inputs
+#     the C++ oracle receives (native/__init__.py:_halo_arrays), so both
+#     graders solve the same NLP to ~the same precision.
+# ===================================================================== #
+
+from ..ops import df32 as _df
+from ..ops.df32 import DF
+from . import dynamics_df as _ddf
+
+
+def _dfix(a: DF, i) -> DF:
+    return DF(a.hi[..., i], a.lo[..., i])
+
+
+def _dfexp(a: DF) -> DF:  # scalar -> [1] (for concat assembly)
+    return _df.dmap(lambda v: v[None], a)
+
+
+def _clamp_vars_df(theta: DF, n_segments, max_shoot, max_coast,
+                   min_shoot=0.0, min_mani=5.0, max_mani=11.0,
+                   mass_min=_MASS_MIN, mass_max=_MASS_MAX) -> DF:
+    """df twin of :func:`_clamp_vars` (bounds are exact f32 values)."""
+    t_shoot = _df.clip(_dfix(theta, 0), max(1e-3, min_shoot), max_shoot)
+    coasts = _df.clip(_df.dmap(lambda v: v[1:3], theta), 0.0, max_coast)
+    ctrl = _df.dmap(lambda v: v[3:3 + 3 * n_segments].reshape(n_segments, 3),
+                    theta)
+    thr = _df.clip(DF(ctrl.hi[:, 2], ctrl.lo[:, 2]), 0.0, 1.0)
+    ctrl = DF(ctrl.hi.at[:, 2].set(thr.hi), ctrl.lo.at[:, 2].set(thr.lo))
+    mass = _df.clip(_dfix(theta, 63), mass_min, mass_max)
+    tau = _df.clip(_dfix(theta, 64), 0.0, 1.0)
+    mani = _df.clip(_dfix(theta, 65), min_mani, max_mani)
+    return _df.concat([_dfexp(t_shoot), coasts,
+                       _df.dmap(lambda v: v.reshape(-1), ctrl),
+                       _dfexp(mass), _dfexp(tau), _dfexp(mani)])
+
+
+def _controls_df(theta: DF, n_segments):
+    """df twin of :func:`_controls`: df sincos keeps the thrust-direction
+    unit vectors consistent with the df iterate — an f32-rounded
+    direction would re-inject a kappa * 2^-24 residual floor."""
+    ctrl = _df.dmap(lambda v: v[3:3 + 3 * n_segments].reshape(n_segments, 3),
+                    theta)
+    alpha = DF(ctrl.hi[:, 0], ctrl.lo[:, 0])
+    beta = DF(ctrl.hi[:, 1], ctrl.lo[:, 1])
+    throttle = _df.clip(DF(ctrl.hi[:, 2], ctrl.lo[:, 2]), 0.0, 1.0)
+    sa, ca = _df.sincos(alpha)
+    sb, cb = _df.sincos(beta)
+    u_dir = _df.stack([_df.mul(cb, ca), _df.mul(cb, sa), sb], axis=-1)
+    return u_dir, throttle
+
+
+def _seg_sequences_df(u_dir: DF, throttle: DF, seg_dt: DF, lo, hi,
+                      reverse=False):
+    """df twin of :func:`_seg_sequences` (1/_SEG_STEPS is a power of two,
+    so the substep dt scaling is exact)."""
+    u = _df.dmap(lambda v: jnp.repeat(v[lo:hi], _SEG_STEPS, axis=0), u_dir)
+    thr = _df.dmap(lambda v: jnp.repeat(v[lo:hi], _SEG_STEPS, axis=0),
+                   throttle)
+    n = (hi - lo) * _SEG_STEPS
+    dt1 = _df.mul_f(seg_dt, np.float32(1.0 / _SEG_STEPS))
+    dt = _df.dmap(lambda v: jnp.broadcast_to(v, (n,)), dt1)
+    if reverse:
+        u = _df.dmap(lambda v: v[::-1], u)
+        thr = _df.dmap(lambda v: v[::-1], thr)
+        dt = _df.neg(dt)
+    return u, thr, dt
+
+
+def _coast_sequences_df(t_coast: DF, sign: float):
+    zc = _df.from_f32(jnp.zeros((_COAST_STEPS, 3)))
+    tc = _df.from_f32(jnp.zeros((_COAST_STEPS,)))
+    d1 = _df.mul_f(t_coast, np.float32(sign / _COAST_STEPS))
+    dc = _df.dmap(lambda v: jnp.broadcast_to(v, (_COAST_STEPS,)), d1)
+    return zc, tc, dc
+
+
+def _shoot_forward_df(theta: DF, spiral_end: DF, thrust, n_segments, n_fwd):
+    t_shoot = _df.maximum_f(_dfix(theta, 0), np.float32(1e-3))
+    t_c1 = _df.maximum_f(_dfix(theta, 1), np.float32(0.0))
+    u_dir, throttle = _controls_df(theta, n_segments)
+    seg_dt = _df.div(t_shoot, _df.const(float(n_segments)))
+    zc, tc, dc = _coast_sequences_df(t_c1, 1.0)
+    us, ts, ds = _seg_sequences_df(u_dir, throttle, seg_dt, 0, n_fwd)
+    return _ddf.leg_df(spiral_end, _df.concat([zc, us]),
+                       _df.concat([tc, ts]), _df.concat([dc, ds]), thrust)
+
+
+def _shoot_backward_df(theta: DF, tgt6: DF, thrust, n_segments, n_fwd):
+    t_shoot = _df.maximum_f(_dfix(theta, 0), np.float32(1e-3))
+    t_c2 = _df.maximum_f(_dfix(theta, 2), np.float32(0.0))
+    u_dir, throttle = _controls_df(theta, n_segments)
+    seg_dt = _df.div(t_shoot, _df.const(float(n_segments)))
+    mass_end = _df.clip(_dfix(theta, 63), _MASS_DRY, _MASS_WET)
+    s0 = _df.concat([tgt6, _dfexp(mass_end)])
+    zc, tc, dc = _coast_sequences_df(t_c2, -1.0)
+    us, ts, ds = _seg_sequences_df(u_dir, throttle, seg_dt, n_fwd,
+                                   n_segments, reverse=True)
+    return _ddf.leg_df(s0, _df.concat([zc, us]), _df.concat([tc, ts]),
+                       _df.concat([dc, ds]), thrust)
+
+
+_INV_MASS_SCALE = 1.0 / _MASS_SCALE
+
+
+def _residual_data32(theta, halo_state0, period, vstable, spiral_end32,
+                     thrust, n_segments, min_mani, max_mani):
+    """f32 :func:`_residual` from PRE-INTERPOLATED halo data — the
+    Jacobian twin of :func:`_residual_df` (shared data source, so the
+    f32 derivative matches the df32 residual's geometry)."""
+    from .manifold import manifold_target_from_data
+
+    n_fwd = (n_segments + 1) // 2
+    tau = jnp.clip(theta[64], 0.0, 1.0)
+    length = jnp.clip(theta[65], min_mani, max_mani)
+    tgt = manifold_target_from_data(halo_state0, period, vstable,
+                                    tau, length)
+    s_f = _shoot_forward(theta, spiral_end32, thrust, n_segments, n_fwd)
+    s_b = _shoot_backward(theta, tgt, thrust, n_segments, n_fwd)
+    r = jnp.concatenate([
+        s_f[:6] - s_b[:6],
+        ((s_f[6] - s_b[6]) * np.float32(_INV_MASS_SCALE))[None],
+    ])
+    finite = jnp.all(jnp.isfinite(s_f)) & jnp.all(jnp.isfinite(s_b)) \
+        & jnp.all(jnp.isfinite(tgt))
+    return jnp.where(finite, r, jnp.full((NRES,), 1e6, r.dtype))
+
+
+def _residual_df(theta: DF, halo_state0: DF, period: DF, vstable,
+                 spiral_end: DF, thrust, n_segments, min_mani, max_mani):
+    """df32 forward-backward shooting residual; returns the f32 hi word
+    of the exactly-cancelled df difference (the difference is ~tol-sized,
+    so its hi word carries ~2^-24 RELATIVE precision — plenty for a 1e-3
+    feasibility decision made against a ~2^-48-accurate value)."""
+    n_fwd = (n_segments + 1) // 2
+    tau = _df.clip(_dfix(theta, 64), 0.0, 1.0)
+    length = _df.clip(_dfix(theta, 65), min_mani, max_mani)
+    tgt = _ddf.manifold_target_from_data_df(halo_state0, period, vstable,
+                                            tau, length)
+    s_f = _shoot_forward_df(theta, spiral_end, thrust, n_segments, n_fwd)
+    s_b = _shoot_backward_df(theta, tgt, thrust, n_segments, n_fwd)
+    d = _df.sub(s_f, s_b)
+    r6 = _df.dmap(lambda v: v[:6], d)
+    rm = _df.mul(_dfix(d, 6), _df.const(_INV_MASS_SCALE))
+    r = jnp.concatenate([r6.hi + r6.lo, (rm.hi + rm.lo)[None]])
+    finite = (jnp.all(jnp.isfinite(s_f.hi)) & jnp.all(jnp.isfinite(s_b.hi))
+              & jnp.all(jnp.isfinite(tgt.hi)))
+    return jnp.where(finite, r, jnp.full((NRES,), 1e6, r.dtype))
+
+
+def _lm_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF, max_iters, tol):
+    """:func:`_lm_loop` with a df32 iterate and df32 residual
+    evaluations; the Jacobian and step algebra stay f32 (mixed-precision
+    iterative refinement — see the section comment)."""
+    theta0 = clamp_df(theta0)
+    r0 = res_fn_df(theta0)
+    cost0 = jnp.linalg.norm(r0)
+
+    def cond(carry):
+        _theta, _r, cost, _lam, it, stuck = carry
+        return (cost > tol) & ~stuck & (it < max_iters)
+
+    def body(carry):
+        theta, r, cost, lam, it, _ = carry
+        J = jax.jacrev(res_fn32)(theta.hi)
+        JJt = J @ J.T
+        lambdas = lam * (10.0 ** jnp.arange(_N_LAMBDA, dtype=jnp.float32))
+        A = JJt[None] + lambdas[:, None, None] * jnp.eye(NRES, dtype=jnp.float32)
+        a = jnp.linalg.solve(A, jnp.broadcast_to(-r, (_N_LAMBDA, NRES))[..., None])
+        d = a[..., 0] @ J
+        trials = jax.vmap(lambda dd: clamp_df(_df.add_f(theta, dd)))(d)
+        r_t = jax.vmap(res_fn_df)(trials)
+        cost_t = jnp.linalg.norm(r_t, axis=-1)
+        cost_t = jnp.where(jnp.isfinite(cost_t), cost_t, jnp.inf)
+
+        improving = cost_t < cost
+        any_improve = jnp.any(improving)
+        k = jnp.argmax(improving)
+        theta_n = _df.where(any_improve, _df.dmap(lambda v: v[k], trials),
+                            theta)
+        r_n = jnp.where(any_improve, r_t[k], r)
+        cost_n = jnp.where(any_improve, cost_t[k], cost)
+        lam_n = jnp.where(any_improve,
+                          jnp.maximum(lambdas[k] * 0.3, 1e-12), lam)
+        it_n = it + jnp.where(any_improve, 1, 0).astype(it.dtype)
+        return (theta_n, r_n, cost_n, lam_n, it_n, ~any_improve)
+
+    init = (theta0, r0, cost0, jnp.asarray(1e-3, jnp.float32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    theta, r, cost, _lam, it, _ = jax.lax.while_loop(cond, body, init)
+    return theta, r, cost, it
+
+
+def _ratchet_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF,
+                     base_iters, total_iters, tol):
+    """:func:`_ratchet_loop` with a df32 iterate/residual (f32 Jacobian
+    and ratchet bookkeeping — mass lives at ~430 kg where f32 spacing is
+    3e-5 kg, far below the 0.25 kg certificate tolerance)."""
+    theta0 = clamp_df(theta0)
+    r0 = res_fn_df(theta0)
+    c0 = jnp.linalg.norm(r0)
+    e63 = jnp.zeros((NVAR,), jnp.float32).at[63].set(1.0)
+    feas0 = c0 < tol
+    m_tgt0 = theta0.hi[63] + jnp.where(feas0, _OPT_GAIN_KG, 0.0)
+
+    def cond(carry):
+        (_t, _r, c7, _m, gain, _l, it, _b, _br, _bc, has_b, stuck) = carry
+        converged = (c7 < tol) & (gain < _OPT_GAIN_TOL)
+        budget = jnp.where(has_b, total_iters, base_iters)
+        return ~stuck & ~converged & (it < budget)
+
+    def body(carry):
+        (theta, r, c7, m_tgt, gain, lam, it, best, br, bc7, has_b,
+         _) = carry
+        J7 = jax.jacrev(res_fn32)(theta.hi)
+        w_row = jnp.where(has_b, np.float32(-_INV_MASS_SCALE), 0.0)
+        J = jnp.concatenate([J7, (w_row * e63)[None]], axis=0)
+        r8 = jnp.concatenate(
+            [r, (jnp.where(has_b,
+                           (m_tgt - theta.hi[63]) * np.float32(_INV_MASS_SCALE),
+                           0.0))[None]])
+        c8 = jnp.linalg.norm(r8)
+        JJt = J @ J.T
+        lambdas = lam * (10.0 ** jnp.arange(_N_LAMBDA, dtype=jnp.float32))
+        A = JJt[None] + lambdas[:, None, None] * jnp.eye(NRES + 1,
+                                                         dtype=jnp.float32)
+        a = jnp.linalg.solve(
+            A, jnp.broadcast_to(-r8, (_N_LAMBDA, NRES + 1))[..., None])
+        d = a[..., 0] @ J
+        trials = jax.vmap(lambda dd: clamp_df(_df.add_f(theta, dd)))(d)
+        r7_t = jax.vmap(res_fn_df)(trials)
+        m_term = jnp.where(has_b,
+                           ((m_tgt - trials.hi[:, 63])
+                            * np.float32(_INV_MASS_SCALE)) ** 2, 0.0)
+        c8_t = jnp.sqrt(jnp.sum(r7_t ** 2, axis=-1) + m_term)
+        c8_t = jnp.where(jnp.isfinite(c8_t), c8_t, jnp.inf)
+
+        improving = c8_t < c8
+        any_imp = jnp.any(improving)
+        k = jnp.argmax(improving)
+        theta_n = _df.where(any_imp, _df.dmap(lambda v: v[k], trials), theta)
+        r_n = jnp.where(any_imp, r7_t[k], r)
+        c7_n = jnp.where(any_imp, jnp.linalg.norm(r7_t[k]), c7)
+        lam_n = jnp.where(any_imp, jnp.maximum(lambdas[k] * 0.3, 1e-12), lam)
+        feas_n = c7_n < tol
+
+        better = feas_n & (~has_b | (theta_n.hi[63] > best.hi[63]))
+        best_n = _df.where(better, theta_n, best)
+        br_n = jnp.where(better, r_n, br)
+        bc7_n = jnp.where(better, c7_n, bc7)
+        has_b_n = has_b | feas_n
+
+        mass_gained = theta_n.hi[63] - theta.hi[63]
+        ratchet_ok = any_imp & (mass_gained > 0.3 * gain)
+        gain_n = jnp.where(
+            ~has_b, gain,
+            jnp.where(ratchet_ok, jnp.minimum(gain * 1.5, _OPT_GAIN_MAX),
+                      gain * 0.5))
+        m_tgt_n = jnp.where(feas_n, theta_n.hi[63] + gain_n, theta_n.hi[63])
+        stuck_n = ~any_imp & ~feas_n
+        it_n = it + jnp.where(any_imp, 1, 0).astype(it.dtype)
+        return (theta_n, r_n, c7_n, m_tgt_n, gain_n, lam_n, it_n,
+                best_n, br_n, bc7_n, has_b_n, stuck_n)
+
+    init = (theta0, r0, c0, m_tgt0, jnp.asarray(_OPT_GAIN_KG, jnp.float32),
+            jnp.asarray(1e-3, jnp.float32), jnp.asarray(0, jnp.int32),
+            theta0, r0, c0, feas0, jnp.asarray(False))
+    (theta, r, c7, _m, gain, _l, it, best, br, bc7, has_b,
+     _s) = jax.lax.while_loop(cond, body, init)
+    theta_f = _df.where(has_b, best, theta)
+    r_f = jnp.where(has_b, br, r)
+    c_f = jnp.where(has_b, bc7, c7)
+    return theta_f, r_f, c_f, it, gain, has_b
+
+
+def _refine_one_df(theta0, halo_hi, halo_lo, per_hi, per_lo, vstable,
+                   spiral_end_df, spiral_end32, thrust, n_segments,
+                   max_iters, polish_iters, tol, max_shoot, max_coast,
+                   min_shoot, min_mani, max_mani, mass_min, mass_max,
+                   optimal: bool):
+    """Mixed-precision refinement of one sample (vmapped): f32 bulk
+    descent (cheap iterations to the f32 noise floor), then a df32
+    polish phase that carries the iterate below the 1e-3 tolerance on
+    high-sensitivity lanes.  Grading diagnostics come from the df32
+    residual at the final iterate."""
+    seed_df = DF(halo_hi, halo_lo)
+    period_df = DF(per_hi, per_lo)
+    clamp32 = lambda th: _clamp_vars(th, n_segments, max_shoot, max_coast,
+                                     min_shoot, min_mani, max_mani,
+                                     mass_min, mass_max)
+    res32 = lambda th: _residual_data32(th, halo_hi, per_hi, vstable,
+                                        spiral_end32, thrust, n_segments,
+                                        min_mani, max_mani)
+    clamp_df = lambda th: _clamp_vars_df(th, n_segments, max_shoot,
+                                         max_coast, min_shoot, min_mani,
+                                         max_mani, mass_min, mass_max)
+    res_df = lambda th: _residual_df(th, seed_df, period_df, vstable,
+                                     spiral_end_df, thrust, n_segments,
+                                     min_mani, max_mani)
+
+    # phase 1: f32 bulk (residual evaluations at 1x cost)
+    if optimal:
+        th32, _r32, _c32, it32, _g32, _hb32 = _ratchet_loop(
+            res32, clamp32, theta0, max_iters, max_iters + _OPT_BUDGET, tol)
+    else:
+        th32, _r32, _c32, it32 = _lm_loop(res32, clamp32, theta0,
+                                          max_iters, tol)
+
+    # phase 2: df32 polish from the f32 point
+    theta_df = _df.from_f32(th32)
+    if optimal:
+        theta_f, r, cost, it_df, gain_f, has_b = _ratchet_loop_df(
+            res_df, res32, clamp_df, theta_df, polish_iters,
+            polish_iters + _OPT_BUDGET // 2, tol)
+        opt_gain = jnp.where(has_b, gain_f, jnp.asarray(1e6, jnp.float32))
+        lower, upper = _bounds_arrays(n_segments, max_shoot, max_coast,
+                                      min_shoot, min_mani, max_mani,
+                                      mass_min, mass_max)
+        stationarity = jnp.where(
+            has_b, _mass_rate(res32, theta_f.hi, lower, upper),
+            jnp.asarray(1e6, jnp.float32))
+    else:
+        theta_f, r, cost, it_df = _lm_loop_df(res_df, res32, clamp_df,
+                                              theta_df, polish_iters, tol)
+        opt_gain = jnp.asarray(1e6, jnp.float32)
+        stationarity = jnp.asarray(1e6, jnp.float32)
+
+    finite = cost < 1e5
+    pos_err = jnp.where(finite, jnp.linalg.norm(r[:3]), 1e6)
+    vel_err = jnp.where(finite, jnp.linalg.norm(r[3:6]), 1e6)
+    final_mass = jnp.where(finite,
+                           jnp.clip(theta_f.hi[63], mass_min, mass_max),
+                           -1.0)
+    term = _shoot(theta_f.hi, spiral_end32, thrust, n_segments)
+    terminal_mass = jnp.where(jnp.all(jnp.isfinite(term)), term[6], -1.0)
+    return (theta_f.hi, theta_f.lo, cost, pos_err, vel_err, final_mass,
+            terminal_mass, it32 + it_df, stationarity, opt_gain)
+
+
+def _build_df(thrust, n_segments, start_bdry, max_iters, polish_iters,
+              tol, max_shoot, max_coast, n_devices, min_shoot, min_mani,
+              max_mani, mass_min, mass_max, optimal):
+    spiral_end64, _l1x, e_l1 = _mission_constants(start_bdry)
+    spiral_end_df = _df.const(np.asarray(spiral_end64, np.float64))
+    spiral_end32 = jnp.asarray(spiral_end64, jnp.float32)
+
+    def batch(thetas, halo_hi, halo_lo, per_hi, per_lo, vstable):
+        return jax.vmap(
+            lambda th, hh, hl, ph, pl, vs: _refine_one_df(
+                th, hh, hl, ph, pl, vs, spiral_end_df, spiral_end32,
+                thrust, n_segments, max_iters, polish_iters, tol,
+                max_shoot, max_coast, min_shoot, min_mani, max_mani,
+                mass_min, mass_max, optimal)
+        )(thetas, halo_hi, halo_lo, per_hi, per_lo, vstable)
+
+    if n_devices > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+        fn = jax.jit(batch, in_shardings=(sharding,) * 6,
+                     out_shardings=sharding)
+    else:
+        fn = jax.jit(batch)
+    return fn, e_l1
+
+
 def _bounds_arrays(n_segments, max_shoot, max_coast, min_shoot,
                    min_mani, max_mani, mass_min=_MASS_MIN,
                    mass_max=_MASS_MAX):
@@ -524,7 +908,9 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
                           solver_mode: str = "optimal",
                           mbh_rounds: int = 0,
                           mbh_sigma: float = 0.05,
-                          mbh_seed: int = 0):
+                          mbh_seed: int = 0,
+                          precision: str = "f32",
+                          polish_iters: int = 12):
     """Solve + grade [N, 66] warm starts entirely on the accelerator.
 
     Drop-in twin of :func:`rdm_tpu.physics.oracle.evaluate_warmstarts_native`
@@ -538,6 +924,12 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     and certifies ``inform = 1`` only at a stationary point of the mass
     objective; ``"feasible"`` stops at feasibility (``inform = 3``).
 
+    ``precision="df32"`` adds the mixed-precision polish phase
+    (``polish_iters`` double-float32 LM/ratchet iterations after the f32
+    bulk descent — see the section comment above): grading then matches
+    the f64 C++ oracle's semantics on high-sensitivity lanes instead of
+    flooring at f32 roundoff, still entirely on-device.
+
     ``n_devices`` > 1 shards each tile over that many devices of the
     default backend (0 = all of them).
 
@@ -550,24 +942,65 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     if batch_tile % n_devices:
         batch_tile += n_devices - batch_tile % n_devices
     optimal = str(solver_mode) != "feasible"
+    use_df = str(precision) == "df32"
+    if use_df:
+        _df.require_exact_eft("refine_warmstarts_tpu(precision='df32')")
     # exact start_bdry: rounding would feed _mission_constants a DIFFERENT
     # boundary value than other callers while sharing their cache slot
-    key = (float(thrust), int(n_segments), float(start_bdry),
-           int(max_iters), float(tol), float(max_shoot), float(max_coast),
-           int(n_devices), float(min_shoot), float(min_manifold_length),
-           float(max_manifold_length), float(min_mass), float(max_mass),
-           bool(optimal))
-    if key not in _CACHE:
-        _CACHE[key] = _build(*key)
+    if use_df:
+        key = ("df32", float(thrust), int(n_segments), float(start_bdry),
+               int(max_iters), int(polish_iters), float(tol),
+               float(max_shoot), float(max_coast), int(n_devices),
+               float(min_shoot), float(min_manifold_length),
+               float(max_manifold_length), float(min_mass),
+               float(max_mass), bool(optimal))
+        if key not in _CACHE:
+            _CACHE[key] = _build_df(*key[1:])
+    else:
+        key = (float(thrust), int(n_segments), float(start_bdry),
+               int(max_iters), float(tol), float(max_shoot),
+               float(max_coast), int(n_devices), float(min_shoot),
+               float(min_manifold_length), float(max_manifold_length),
+               float(min_mass), float(max_mass), bool(optimal))
+        if key not in _CACHE:
+            _CACHE[key] = _build(*key)
     fn, _e_l1 = _CACHE[key]
 
     from .oracle import _grade
+
+    def _lane_arrays(thetas_np, energies_in):
+        """Per-lane device inputs for one tile: (theta, alpha) for f32;
+        (theta, + exact two-word splits of the host-f64 halo family
+        data) for df32."""
+        if not use_df:
+            return (thetas_np, np.asarray(energies_in, np.float32))
+        from . import halo as _halo
+        sd = _halo.interp_seed(np.asarray(energies_in, np.float64))
+        s64 = np.atleast_2d(np.asarray(sd["state0"], np.float64))
+        p64 = np.atleast_1d(np.asarray(sd["period"], np.float64))
+        vs = np.atleast_2d(np.asarray(sd["vstable"], np.float64))
+        s_hi = s64.astype(np.float32)
+        p_hi = p64.astype(np.float32)
+        return (thetas_np,
+                s_hi, (s64 - s_hi).astype(np.float32),
+                p_hi, (p64 - p_hi).astype(np.float32),
+                vs.astype(np.float32))
+
+    def _run_tile(arrs):
+        outs = fn(*(jnp.asarray(a) for a in arrs))
+        if use_df:
+            th_hi, th_lo, *rest = outs
+            # the df32 iterate carries ~f64 precision back to the host
+            theta = np.asarray(th_hi, np.float64) + np.asarray(th_lo,
+                                                               np.float64)
+            return [theta] + [np.asarray(o) for o in rest]
+        return [np.asarray(o) for o in outs]
 
     def _solve_once(guesses_in, energies_in):
         g = np.asarray(guesses_in, np.float32)
         n = len(g)
         thetas_np = g[:, :NVAR]
-        a_np = np.asarray(energies_in, np.float32)
+        e_np = np.asarray(energies_in, np.float64)
 
         if n <= batch_tile:
             # pad to the next power of two (and the device count): every
@@ -584,28 +1017,28 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
             if pad:
                 thetas_np = np.concatenate(
                     [thetas_np, np.repeat(thetas_np[-1:], pad, 0)])
-                a_np = np.concatenate([a_np, np.repeat(a_np[-1:], pad)])
+                e_np = np.concatenate([e_np, np.repeat(e_np[-1:], pad)])
 
         if n > batch_tile:
             outs = []
             for lo in range(0, n, batch_tile):
                 t = thetas_np[lo:lo + batch_tile]
-                a = a_np[lo:lo + batch_tile]
+                e = e_np[lo:lo + batch_tile]
                 if len(t) < batch_tile:  # pad to the compiled tile shape
                     pad = batch_tile - len(t)
                     t = np.concatenate([t, np.repeat(t[-1:], pad, 0)])
-                    a = np.concatenate([a, np.repeat(a[-1:], pad)])
-                outs.append([np.asarray(o)[:min(batch_tile, n - lo)]
-                             for o in fn(jnp.asarray(t), jnp.asarray(a))])
+                    e = np.concatenate([e, np.repeat(e[-1:], pad)])
+                outs.append([o[:min(batch_tile, n - lo)]
+                             for o in _run_tile(_lane_arrays(t, e))])
             (theta, cost, pos_err, vel_err, final_mass, terminal_mass,
              iters, stat, opt_gain) = (np.concatenate(cols)
                                        for cols in zip(*outs))
         else:
             (theta, cost, pos_err, vel_err, final_mass, terminal_mass,
-             iters, stat, opt_gain) = (np.asarray(o)[:n]
-                                       for o in fn(jnp.asarray(thetas_np),
-                                                   jnp.asarray(a_np)))
-        # float64 like the native oracle's dict (the solve itself is f32)
+             iters, stat, opt_gain) = (o[:n] for o in _run_tile(
+                 _lane_arrays(thetas_np, e_np)))
+        # float64 like the native oracle's dict (the f32 solve carries
+        # f32 precision; the df32 solve genuine two-word precision)
         refined = g.astype(np.float64)
         refined[:, :NVAR] = np.asarray(theta, np.float64)
         out = {"refined": refined,

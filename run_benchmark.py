@@ -36,6 +36,12 @@ def make_parser():
                    help="monotonic basin hops of still-infeasible lanes "
                         "(the reference's SNOPT runs under MBH); 0 = one "
                         "cold local solve per sample")
+    p.add_argument("--oracle_precision", default="df32",
+                   choices=["df32", "f32"],
+                   help="tpu-backend solver arithmetic: df32 (default) "
+                        "polishes with double-float32 so on-device grading "
+                        "matches the f64 C++ oracle; f32 is faster but "
+                        "floors at the transfer sensitivity x 2^-24")
     p.add_argument("--output_dir", default="benchmark_results")
     p.add_argument("--save_samples", action="store_true", default=True)
     p.add_argument("--save_plots", action="store_true", default=True)
@@ -80,7 +86,8 @@ def main(argv=None):
             save_samples=args.save_samples, save_plots=args.save_plots,
             device=args.device, max_workers=args.max_workers,
             test_mode=args.test_mode, oracle_backend=args.oracle_backend,
-            oracle_mbh_rounds=args.oracle_mbh_rounds)
+            oracle_mbh_rounds=args.oracle_mbh_rounds,
+            oracle_precision=args.oracle_precision)
         results["gto_halo"] = GTOHaloBenchmarker(cfg).run_benchmark()
 
     print("\nBenchmarks complete. Results under", args.output_dir)
