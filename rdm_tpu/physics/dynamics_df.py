@@ -24,8 +24,9 @@ Reference parity: the NLP being evaluated is
 (see ``solver_tpu.py``); the reference's own grader gets f64 from SNOPT
 + pydylan on the host.
 
-Not differentiable by design: the solver takes Jacobians through the
-plain-f32 twin instead (mixed-precision iterative refinement).
+Not differentiated by autodiff: the solver builds its Jacobian by
+forward-differencing these df32 residuals (solver_tpu._jac_fd_df), the
+same scheme as the C++ twin.
 """
 from __future__ import annotations
 
@@ -34,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import df32
-from ..ops.df32 import DF
+from ..ops.df32 import DF, dmap
 from .cr3bp import CR3BP_MU, DU_KM, G0, TU_S
 
 # exact df32 splits of the f64 mission constants
@@ -150,32 +151,72 @@ def ballistic_df(s0: DF, tof: DF, n_steps: int) -> DF:
     return out
 
 
-def ballistic_with_tangent_df(s0: DF, v0, tof: DF, n_steps: int):
-    """df state propagation with an f32 tangent riding along (the
-    tangent only sets the MANIFOLD_EPS-scaled departure direction, so
-    f32 transport noise enters the seed at ~1e-4 x ulp — negligible).
-    The tangent evolves with jax.jvp of the f32 RK4 step evaluated at
-    the df state's hi word (manifold.py:propagate_with_tangent)."""
+def _ode12_df(sv: DF) -> DF:
+    """Ballistic CR3BP + first variational equations on
+    [x y z vx vy vz | dx dy dz dvx dvy dvz] — the df twin of the C++
+    ``propagate12`` system (cr3bp_native.cpp:164-204): the tangent
+    evolves with d(dv)/dt = U(x) dx + C dv where U is the Hessian block
+    of the effective potential and C the Coriolis coupling.
+
+    Why analytic variational equations instead of jax.jvp of an f32
+    step: the tangent sets the manifold departure direction as a
+    FUNCTION of the orbit phase variable; an f32 transport gives the
+    residual ~1e-6-scale non-smooth jitter w.r.t. that variable, which
+    the FD Jacobian amplifies by 1/h into garbage columns (measured:
+    half the solver lanes stall)."""
+    s = dmap(lambda v: v[..., :6], sv)
+    d = dmap(lambda v: v[..., 6:], sv)
+    x, y, z = _ix(s, 0), _ix(s, 1), _ix(s, 2)
+    dx, dy, dz = _ix(d, 0), _ix(d, 1), _ix(d, 2)
+    dvx, dvy, dvz = _ix(d, 3), _ix(d, 4), _ix(d, 5)
+
+    ds = ode6_df(s)
+
+    # Hessian of the gravity part: for each primary k with mass m_k and
+    # offset vector u = (x - x_k, y, z), r = |u|:
+    #   dU a = -m_k/r^3 a + 3 m_k (u . a) u / r^5
+    xpmu = df32.add(x, _MU)
+    xm1mu = df32.add(x, _MU_MINUS_1)
+    yz2 = df32.add(df32.sqr(y), df32.sqr(z))
+
+    def grav_var(ux, m_df):
+        r2 = df32.add(df32.sqr(ux), yz2)
+        r = df32.sqrt(r2)
+        ir3 = df32.div(m_df, df32.mul(r, r2))              # m / r^3
+        ir5_3 = df32.div(df32.mul_f(m_df, 3.0),
+                         df32.mul(df32.mul(r, r2), r2))    # 3 m / r^5
+        udot = df32.add(df32.add(df32.mul(ux, dx), df32.mul(y, dy)),
+                        df32.mul(z, dz))
+        c = df32.mul(ir5_3, udot)
+        ax = df32.sub(df32.mul(c, ux), df32.mul(ir3, dx))
+        ay = df32.sub(df32.mul(c, y), df32.mul(ir3, dy))
+        az = df32.sub(df32.mul(c, z), df32.mul(ir3, dz))
+        return ax, ay, az
+
+    g1 = grav_var(xpmu, _ONE_MINUS_MU)
+    g2 = grav_var(xm1mu, _MU)
+    # centrifugal (+dx, +dy, 0) and Coriolis (+2dvy, -2dvx, 0)
+    ddvx = df32.add(df32.add(df32.add(g1[0], g2[0]), dx),
+                    df32.mul_f(dvy, 2.0))
+    ddvy = df32.sub(df32.add(df32.add(g1[1], g2[1]), dy),
+                    df32.mul_f(dvx, 2.0))
+    ddvz = df32.add(g1[2], g2[2])
+    return df32.concat([ds, df32.stack([dvx, dvy, dvz, ddvx, ddvy, ddvz],
+                                       axis=-1)], axis=-1)
+
+
+def ballistic_with_tangent_df(s0: DF, v0: DF, tof: DF, n_steps: int):
+    """df state + df tangent propagation via the augmented 12-dim RK4
+    (same stencil as state-only; C++ twin ``propagate12``)."""
     assert n_steps & (n_steps - 1) == 0
     dt = df32.mul_f(tof, np.float32(1.0 / n_steps))
+    sv = df32.concat([s0, v0], axis=-1)
 
-    from .manifold import _ode6 as _ode6_32
+    def step(s, _):
+        return _rk4(_ode12_df, s, dt), None
 
-    def one32(s32):
-        d = dt.hi
-        k1 = _ode6_32(s32)
-        k2 = _ode6_32(s32 + 0.5 * d * k1)
-        k3 = _ode6_32(s32 + 0.5 * d * k2)
-        k4 = _ode6_32(s32 + d * k3)
-        return s32 + (d / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-
-    def step(carry, _):
-        s, v = carry
-        _, v_new = jax.jvp(one32, (s.hi,), (v,))
-        return (_rk4(ode6_df, s, dt), v_new), None
-
-    (s, v), _ = jax.lax.scan(step, (s0, v0), None, length=n_steps)
-    return s, v
+    out, _ = jax.lax.scan(step, sv, None, length=n_steps)
+    return dmap(lambda v: v[..., :6], out), dmap(lambda v: v[..., 6:], out)
 
 
 def manifold_target_from_data_df(state0: DF, period: DF, vstable,
@@ -191,8 +232,11 @@ def manifold_target_from_data_df(state0: DF, period: DF, vstable,
     manifold.py:manifold_target documents the parametrisation; reference
     semantics ``cr3bp_...warmstart.py:148-165,210``."""
     tau = df32.mul(df32.clip(tau_frac, 0.0, 1.0), period)
-    x_tau, v_tau = ballistic_with_tangent_df(state0, vstable, tau,
-                                             n_halo_steps)
-    v_hat = v_tau / (jnp.linalg.norm(v_tau) + np.float32(1e-30))
+    x_tau, v_tau = ballistic_with_tangent_df(state0, df32.from_f32(vstable),
+                                             tau, n_halo_steps)
+    # normalisation in f32 is fine: v_tau is df-smooth in tau, and the
+    # rounding enters the seed at manifold_eps * ulp ~ 6e-12
+    v32 = v_tau.hi + v_tau.lo
+    v_hat = v32 / (jnp.linalg.norm(v32) + np.float32(1e-30))
     seed = df32.add_f(x_tau, np.float32(manifold_eps) * v_hat)
     return ballistic_df(seed, df32.neg(length), n_manifold_steps)

@@ -416,17 +416,23 @@ def _ratchet_loop(res_fn, clamp, theta0, base_iters, total_iters, tol):
 # flagship samples; BENCH_NOTES "f32 vs f64 grading").
 #
 # ``precision="df32"`` fixes this ON-DEVICE with mixed-precision
-# iterative refinement (the classic low/high-precision Newton split):
-#   * Jacobians, the damped-normal-equation solves, and all accept/
-#     reject logic stay f32 — LM tolerates an approximate Jacobian;
-#   * the ITERATE and every residual evaluation run in double-float32
-#     (rdm_tpu/ops/df32.py + physics/dynamics_df.py): ~2^-48 effective
-#     mantissa on the f32 VPU, dropping the residual floor to
-#     kappa * 2^-48, far below tolerance on every lane in the family;
+# arithmetic:
+#   * the ITERATE, every residual evaluation, and the forward-difference
+#     Jacobian run in double-float32 (rdm_tpu/ops/df32.py +
+#     physics/dynamics_df.py): ~2^-48 effective mantissa on the f32 VPU,
+#     dropping the residual floor to kappa * 2^-48, far below tolerance
+#     on every lane in the family;
+#   * the damped-normal-equation solves and accept/reject logic stay f32
+#     (LM tolerates approximate step algebra);
 #   * per-lane halo family data enters as exact two-word splits of the
 #     HOST f64 interpolation (halo.interp_seed) — the identical inputs
 #     the C++ oracle receives (native/__init__.py:_halo_arrays), so both
 #     graders solve the same NLP to ~the same precision.
+# Designs that kept an f32 bulk phase or jacrev-of-f32 Jacobians were
+# measured to lose lanes (flagship agreement 0.92/0.95 vs the f64
+# grader): the f32 residual's noise LANDSCAPE (value jitter of
+# kappa * 2^-24 over ulp-sized moves) misdirects both the descent and
+# autodiff, which faithfully differentiates the jitter.
 # ===================================================================== #
 
 from ..ops import df32 as _df
@@ -551,35 +557,172 @@ def _residual_data32(theta, halo_state0, period, vstable, spiral_end32,
     return jnp.where(finite, r, jnp.full((NRES,), 1e6, r.dtype))
 
 
-def _residual_df(theta: DF, halo_state0: DF, period: DF, vstable,
-                 spiral_end: DF, thrust, n_segments, min_mani, max_mani):
-    """df32 forward-backward shooting residual; returns the f32 hi word
-    of the exactly-cancelled df difference (the difference is ~tol-sized,
-    so its hi word carries ~2^-24 RELATIVE precision — plenty for a 1e-3
-    feasibility decision made against a ~2^-48-accurate value)."""
-    n_fwd = (n_segments + 1) // 2
+def _target_df(theta: DF, halo_state0: DF, period: DF, vstable,
+               min_mani, max_mani) -> DF:
+    """Manifold end-boundary target of the df iterate (only variables
+    64/65 — phase and arc length — feed it)."""
     tau = _df.clip(_dfix(theta, 64), 0.0, 1.0)
     length = _df.clip(_dfix(theta, 65), min_mani, max_mani)
-    tgt = _ddf.manifold_target_from_data_df(halo_state0, period, vstable,
-                                            tau, length)
+    return _ddf.manifold_target_from_data_df(halo_state0, period, vstable,
+                                             tau, length)
+
+
+def _residual_with_target_df(theta: DF, tgt: DF, spiral_end: DF, thrust,
+                             n_segments) -> DF:
+    """df32 forward-backward shooting residual AGAINST A FIXED target —
+    the cheap path (no 1280-step manifold propagation).  The FD Jacobian
+    uses it for the 63 columns that cannot move the target, exactly like
+    the C++ twin (cr3bp_native.cpp:jacobian_fd).
+
+    Returns the residual as a DF 7-vector: the FD Jacobian differences
+    two nearby residuals at step h ~ 1e-6, so the residual must carry
+    ~2^-48 absolute precision — an f32-rounded return value would put
+    |r| * 2^-24 / h ~ O(1) noise on every Jacobian entry (measured: it
+    stalls half the lanes).  Feasibility logic reads the f32 view
+    ``r.hi + r.lo``."""
+    n_fwd = (n_segments + 1) // 2
     s_f = _shoot_forward_df(theta, spiral_end, thrust, n_segments, n_fwd)
     s_b = _shoot_backward_df(theta, tgt, thrust, n_segments, n_fwd)
     d = _df.sub(s_f, s_b)
     r6 = _df.dmap(lambda v: v[:6], d)
     rm = _df.mul(_dfix(d, 6), _df.const(_INV_MASS_SCALE))
-    r = jnp.concatenate([r6.hi + r6.lo, (rm.hi + rm.lo)[None]])
+    r = _df.concat([r6, _dfexp(rm)])
     finite = (jnp.all(jnp.isfinite(s_f.hi)) & jnp.all(jnp.isfinite(s_b.hi))
               & jnp.all(jnp.isfinite(tgt.hi)))
-    return jnp.where(finite, r, jnp.full((NRES,), 1e6, r.dtype))
+    return _df.where(finite, r,
+                     _df.from_f32(jnp.full((NRES,), 1e6, jnp.float32)))
 
 
-def _lm_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF, max_iters, tol):
-    """:func:`_lm_loop` with a df32 iterate and df32 residual
-    evaluations; the Jacobian and step algebra stay f32 (mixed-precision
-    iterative refinement — see the section comment)."""
+def _residual_df(theta: DF, halo_state0: DF, period: DF, vstable,
+                 spiral_end: DF, thrust, n_segments, min_mani,
+                 max_mani) -> DF:
+    """Full df32 residual (target recomputed from the iterate)."""
+    tgt = _target_df(theta, halo_state0, period, vstable, min_mani,
+                     max_mani)
+    return _residual_with_target_df(theta, tgt, spiral_end, thrust,
+                                    n_segments)
+
+
+def _r32(r: DF):
+    """f32 view of a df residual (for norms/accept logic/grading)."""
+    return r.hi + r.lo
+
+
+# ---- df32 small-matrix algebra ------------------------------------- #
+# The LM normal equations square the shooting Jacobian's conditioning:
+# kappa(JJt) = kappa(J)^2 reaches 1e8+ on hard lanes, so an f32 solve
+# loses every digit exactly where Gauss-Newton's quadratic endgame
+# needs accurate steps (measured: the df solver tracked the C++ f64
+# solver for ~4 iterations, then plateaued at cost 0.05-0.5 accepting
+# micro-steps while the C++ converged quadratically).  The C++ twin
+# does this algebra in f64; these helpers do it in df32 — at NRES x
+# NVAR sizes the cost is invisible next to the integrations.
+
+def _df_sum(x: DF, axis: int = -1) -> DF:
+    """Tree-reduction sum along ``axis`` in df arithmetic."""
+    n = x.hi.shape[axis]
+    x = _df.dmap(lambda v: jnp.moveaxis(v, axis, -1), x)
+    m = 1
+    while m < n:
+        m *= 2
+    if m != n:
+        pad = [(0, 0)] * (x.hi.ndim - 1) + [(0, m - n)]
+        x = _df.dmap(lambda v: jnp.pad(v, pad), x)
+    while m > 1:
+        half = m // 2
+        x = _df.add(_df.dmap(lambda v: v[..., :half], x),
+                    _df.dmap(lambda v: v[..., half:], x))
+        m = half
+    return _df.dmap(lambda v: v[..., 0], x)
+
+
+def _df_gram(J: DF) -> DF:
+    """J @ J.T for a DF matrix [n, m] -> [n, n]."""
+    Ji = _df.dmap(lambda v: v[:, None, :], J)
+    Jj = _df.dmap(lambda v: v[None, :, :], J)
+    return _df_sum(_df.mul(Ji, Jj), axis=-1)
+
+
+def _df_vecmat(a: DF, J: DF) -> DF:
+    """a [n] times J [n, m] -> [m] (the LM step d = J^T a)."""
+    return _df_sum(_df.mul(_df.dmap(lambda v: v[:, None], a), J), axis=0)
+
+
+def _df_cholesky_solve(A: DF, b: DF, n: int) -> DF:
+    """Solve SPD ``A a = b`` (A [n, n] DF, b [n] DF) by unrolled
+    Cholesky + triangular solves, all in df arithmetic.  ``n`` is small
+    and static (NRES or NRES+1), so the unrolled op count is ~n^3/3."""
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = _dfix(_dfix(A, i), j)
+            for k in range(j):
+                s = _df.sub(s, _df.mul(L[i][k], L[j][k]))
+            if i == j:
+                # guard: a non-SPD / degenerate pivot poisons the lane's
+                # trial, which the ladder's finite-cost check discards
+                L[i][j] = _df.sqrt(_df.maximum_f(s, np.float32(1e-30)))
+            else:
+                L[i][j] = _df.div(s, L[j][j])
+    y = [None] * n
+    for i in range(n):
+        s = _dfix(b, i)
+        for k in range(i):
+            s = _df.sub(s, _df.mul(L[i][k], y[k]))
+        y[i] = _df.div(s, L[i][i])
+    a = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = _df.sub(s, _df.mul(L[k][i], a[k]))
+        a[i] = _df.div(s, L[i][i])
+    return _df.stack(a, axis=-1)
+
+
+_FD_STEP = np.float32(1e-6)  # C++ twin: hstep = 1e-6 * (|g_v| + 1)
+
+
+def _jac_fd_df(theta: DF, r0: DF, res_with_tgt_df, res_full_df, tgt: DF):
+    """Forward-difference Jacobian over the df32 residual — the df twin
+    of ``cr3bp_native.cpp:jacobian_fd``.
+
+    Why FD here instead of the f32 path's jacrev: on high-sensitivity
+    lanes the f32 residual's LANDSCAPE is noise (value jitter of
+    kappa * 2^-24 over ulp-sized moves), and autodiff faithfully
+    differentiates that jitter; differencing the ~2^-48-accurate df32
+    residual at h = 1e-6(|g|+1) — IN df arithmetic, see
+    :func:`_residual_with_target_df` — yields entry noise
+    ~|r| * 2^-48 / h, clean where jacrev-of-f32 was garbage.  Matching
+    the C++, the 63 columns that cannot move the manifold target reuse
+    it (leg-only evaluations, no 1280-step manifold propagation)."""
+    h = _FD_STEP * (jnp.abs(theta.hi) + 1.0)              # [NVAR]
+
+    def col_legs(v):
+        th = _df.add_f(theta, h[v] * (jnp.arange(NVAR) == v))
+        d = _df.sub(res_with_tgt_df(th, tgt), r0)
+        hv = _df.from_f32(jnp.broadcast_to(h[v], (NRES,)))
+        return _df.div(d, hv)
+
+    def col_full(v):
+        th = _df.add_f(theta, h[v] * (jnp.arange(NVAR) == v))
+        d = _df.sub(res_full_df(th), r0)
+        hv = _df.from_f32(jnp.broadcast_to(h[v], (NRES,)))
+        return _df.div(d, hv)
+
+    J_legs = jax.vmap(col_legs)(jnp.arange(63))           # DF (63, NRES)
+    J_tail = jax.vmap(col_full)(jnp.arange(63, NVAR))     # DF (3, NRES)
+    J = _df.concat([J_legs, J_tail], axis=0)              # DF (NVAR, NRES)
+    return _df.dmap(lambda v: v.T, J)                     # DF (NRES, NVAR)
+
+
+def _lm_loop_df(res_fn_df, jac_fn, clamp_df, theta0: DF, max_iters, tol):
+    """:func:`_lm_loop` with a df32 iterate, df32 residual evaluations,
+    and an FD-over-df32 Jacobian (``jac_fn(theta, r) -> J``); the step
+    algebra stays f32 (mixed-precision iterative refinement — see the
+    section comment)."""
     theta0 = clamp_df(theta0)
-    r0 = res_fn_df(theta0)
-    cost0 = jnp.linalg.norm(r0)
+    r0 = res_fn_df(theta0)                       # DF[NRES]
+    cost0 = jnp.linalg.norm(_r32(r0))
 
     def cond(carry):
         _theta, _r, cost, _lam, it, stuck = carry
@@ -587,15 +730,19 @@ def _lm_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF, max_iters, tol):
 
     def body(carry):
         theta, r, cost, lam, it, _ = carry
-        J = jax.jacrev(res_fn32)(theta.hi)
-        JJt = J @ J.T
+        J = jac_fn(theta, r)                     # DF[NRES, NVAR]
+        JJt = _df_gram(J)                        # DF[NRES, NRES]
         lambdas = lam * (10.0 ** jnp.arange(_N_LAMBDA, dtype=jnp.float32))
-        A = JJt[None] + lambdas[:, None, None] * jnp.eye(NRES, dtype=jnp.float32)
-        a = jnp.linalg.solve(A, jnp.broadcast_to(-r, (_N_LAMBDA, NRES))[..., None])
-        d = a[..., 0] @ J
-        trials = jax.vmap(lambda dd: clamp_df(_df.add_f(theta, dd)))(d)
-        r_t = jax.vmap(res_fn_df)(trials)
-        cost_t = jnp.linalg.norm(r_t, axis=-1)
+        neg_r = _df.neg(r)
+
+        def rung(lam_k):
+            A = _df.add_f(JJt, lam_k * jnp.eye(NRES, dtype=jnp.float32))
+            a = _df_cholesky_solve(A, neg_r, NRES)
+            return clamp_df(_df.add(theta, _df_vecmat(a, J)))
+
+        trials = jax.vmap(rung)(lambdas)         # DF[_N_LAMBDA, NVAR]
+        r_t = jax.vmap(res_fn_df)(trials)        # DF[_N_LAMBDA, NRES]
+        cost_t = jnp.linalg.norm(_r32(r_t), axis=-1)
         cost_t = jnp.where(jnp.isfinite(cost_t), cost_t, jnp.inf)
 
         improving = cost_t < cost
@@ -603,7 +750,7 @@ def _lm_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF, max_iters, tol):
         k = jnp.argmax(improving)
         theta_n = _df.where(any_improve, _df.dmap(lambda v: v[k], trials),
                             theta)
-        r_n = jnp.where(any_improve, r_t[k], r)
+        r_n = _df.where(any_improve, _df.dmap(lambda v: v[k], r_t), r)
         cost_n = jnp.where(any_improve, cost_t[k], cost)
         lam_n = jnp.where(any_improve,
                           jnp.maximum(lambdas[k] * 0.3, 1e-12), lam)
@@ -616,14 +763,15 @@ def _lm_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF, max_iters, tol):
     return theta, r, cost, it
 
 
-def _ratchet_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF,
+def _ratchet_loop_df(res_fn_df, jac_fn, clamp_df, theta0: DF,
                      base_iters, total_iters, tol):
-    """:func:`_ratchet_loop` with a df32 iterate/residual (f32 Jacobian
-    and ratchet bookkeeping — mass lives at ~430 kg where f32 spacing is
-    3e-5 kg, far below the 0.25 kg certificate tolerance)."""
+    """:func:`_ratchet_loop` with a df32 iterate/residual and FD-df
+    Jacobian (f32 step algebra and ratchet bookkeeping — mass lives at
+    ~430 kg where f32 spacing is 3e-5 kg, far below the 0.25 kg
+    certificate tolerance)."""
     theta0 = clamp_df(theta0)
-    r0 = res_fn_df(theta0)
-    c0 = jnp.linalg.norm(r0)
+    r0 = res_fn_df(theta0)                       # DF[NRES]
+    c0 = jnp.linalg.norm(_r32(r0))
     e63 = jnp.zeros((NVAR,), jnp.float32).at[63].set(1.0)
     feas0 = c0 < tol
     m_tgt0 = theta0.hi[63] + jnp.where(feas0, _OPT_GAIN_KG, 0.0)
@@ -637,41 +785,44 @@ def _ratchet_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF,
     def body(carry):
         (theta, r, c7, m_tgt, gain, lam, it, best, br, bc7, has_b,
          _) = carry
-        J7 = jax.jacrev(res_fn32)(theta.hi)
+        J7 = jac_fn(theta, r)                    # DF[NRES, NVAR]
         w_row = jnp.where(has_b, np.float32(-_INV_MASS_SCALE), 0.0)
-        J = jnp.concatenate([J7, (w_row * e63)[None]], axis=0)
-        r8 = jnp.concatenate(
-            [r, (jnp.where(has_b,
-                           (m_tgt - theta.hi[63]) * np.float32(_INV_MASS_SCALE),
-                           0.0))[None]])
-        c8 = jnp.linalg.norm(r8)
-        JJt = J @ J.T
+        J = _df.concat([J7, _df.from_f32((w_row * e63)[None])], axis=0)
+        m_row = _df.mul(_df.add_f(_df.neg(_dfix(theta, 63)), m_tgt),
+                        _df.const(_INV_MASS_SCALE))
+        m_row = _df.where(has_b, m_row, _df.from_f32(jnp.float32(0.0)))
+        r8 = _df.concat([r, _dfexp(m_row)])      # DF[NRES + 1]
+        c8 = jnp.linalg.norm(_r32(r8))
+        JJt = _df_gram(J)                        # DF[NRES+1, NRES+1]
         lambdas = lam * (10.0 ** jnp.arange(_N_LAMBDA, dtype=jnp.float32))
-        A = JJt[None] + lambdas[:, None, None] * jnp.eye(NRES + 1,
-                                                         dtype=jnp.float32)
-        a = jnp.linalg.solve(
-            A, jnp.broadcast_to(-r8, (_N_LAMBDA, NRES + 1))[..., None])
-        d = a[..., 0] @ J
-        trials = jax.vmap(lambda dd: clamp_df(_df.add_f(theta, dd)))(d)
-        r7_t = jax.vmap(res_fn_df)(trials)
+        neg_r8 = _df.neg(r8)
+
+        def rung(lam_k):
+            A = _df.add_f(JJt, lam_k * jnp.eye(NRES + 1, dtype=jnp.float32))
+            a = _df_cholesky_solve(A, neg_r8, NRES + 1)
+            return clamp_df(_df.add(theta, _df_vecmat(a, J)))
+
+        trials = jax.vmap(rung)(lambdas)         # DF[_N_LAMBDA, NVAR]
+        r7_t = jax.vmap(res_fn_df)(trials)       # DF[_N_LAMBDA, NRES]
+        r7_t32 = _r32(r7_t)
         m_term = jnp.where(has_b,
                            ((m_tgt - trials.hi[:, 63])
                             * np.float32(_INV_MASS_SCALE)) ** 2, 0.0)
-        c8_t = jnp.sqrt(jnp.sum(r7_t ** 2, axis=-1) + m_term)
+        c8_t = jnp.sqrt(jnp.sum(r7_t32 ** 2, axis=-1) + m_term)
         c8_t = jnp.where(jnp.isfinite(c8_t), c8_t, jnp.inf)
 
         improving = c8_t < c8
         any_imp = jnp.any(improving)
         k = jnp.argmax(improving)
         theta_n = _df.where(any_imp, _df.dmap(lambda v: v[k], trials), theta)
-        r_n = jnp.where(any_imp, r7_t[k], r)
-        c7_n = jnp.where(any_imp, jnp.linalg.norm(r7_t[k]), c7)
+        r_n = _df.where(any_imp, _df.dmap(lambda v: v[k], r7_t), r)
+        c7_n = jnp.where(any_imp, jnp.linalg.norm(r7_t32[k]), c7)
         lam_n = jnp.where(any_imp, jnp.maximum(lambdas[k] * 0.3, 1e-12), lam)
         feas_n = c7_n < tol
 
         better = feas_n & (~has_b | (theta_n.hi[63] > best.hi[63]))
         best_n = _df.where(better, theta_n, best)
-        br_n = jnp.where(better, r_n, br)
+        br_n = _df.where(better, r_n, br)
         bc7_n = jnp.where(better, c7_n, bc7)
         has_b_n = has_b | feas_n
 
@@ -693,26 +844,26 @@ def _ratchet_loop_df(res_fn_df, res_fn32, clamp_df, theta0: DF,
     (theta, r, c7, _m, gain, _l, it, best, br, bc7, has_b,
      _s) = jax.lax.while_loop(cond, body, init)
     theta_f = _df.where(has_b, best, theta)
-    r_f = jnp.where(has_b, br, r)
+    r_f = _df.where(has_b, br, r)
     c_f = jnp.where(has_b, bc7, c7)
     return theta_f, r_f, c_f, it, gain, has_b
 
 
-def _refine_one_df(theta0, halo_hi, halo_lo, per_hi, per_lo, vstable,
-                   spiral_end_df, spiral_end32, thrust, n_segments,
-                   max_iters, polish_iters, tol, max_shoot, max_coast,
+def _refine_one_df(theta0_hi, theta0_lo, halo_hi, halo_lo, per_hi, per_lo,
+                   vstable, spiral_end_df, spiral_end32, thrust, n_segments,
+                   max_iters, tol, max_shoot, max_coast,
                    min_shoot, min_mani, max_mani, mass_min, mass_max,
                    optimal: bool):
-    """Mixed-precision refinement of one sample (vmapped): f32 bulk
-    descent (cheap iterations to the f32 noise floor), then a df32
-    polish phase that carries the iterate below the 1e-3 tolerance on
-    high-sensitivity lanes.  Grading diagnostics come from the df32
-    residual at the final iterate."""
+    """Mixed-precision refinement of one sample (vmapped): the SAME
+    algorithm as the C++ f64 oracle — ``max_iters`` LM iterations (plus
+    the mass-ascent ratchet in optimal mode) with a forward-difference
+    Jacobian — run in df32 end-to-end.  Earlier designs ran an f32 bulk
+    phase first and/or jacrev-of-f32 Jacobians; both measurably lose
+    lanes (flagship agreement with the f64 grader 0.92 vs this design —
+    the f32 residual's noise landscape misdirects the descent before the
+    precise phase can rescue it)."""
     seed_df = DF(halo_hi, halo_lo)
     period_df = DF(per_hi, per_lo)
-    clamp32 = lambda th: _clamp_vars(th, n_segments, max_shoot, max_coast,
-                                     min_shoot, min_mani, max_mani,
-                                     mass_min, mass_max)
     res32 = lambda th: _residual_data32(th, halo_hi, per_hi, vstable,
                                         spiral_end32, thrust, n_segments,
                                         min_mani, max_mani)
@@ -722,21 +873,23 @@ def _refine_one_df(theta0, halo_hi, halo_lo, per_hi, per_lo, vstable,
     res_df = lambda th: _residual_df(th, seed_df, period_df, vstable,
                                      spiral_end_df, thrust, n_segments,
                                      min_mani, max_mani)
+    res_tgt_df = lambda th, tgt: _residual_with_target_df(
+        th, tgt, spiral_end_df, thrust, n_segments)
 
-    # phase 1: f32 bulk (residual evaluations at 1x cost)
-    if optimal:
-        th32, _r32, _c32, it32, _g32, _hb32 = _ratchet_loop(
-            res32, clamp32, theta0, max_iters, max_iters + _OPT_BUDGET, tol)
-    else:
-        th32, _r32, _c32, it32 = _lm_loop(res32, clamp32, theta0,
-                                          max_iters, tol)
+    def jac_fn(theta, r):
+        tgt = _target_df(theta, seed_df, period_df, vstable,
+                         min_mani, max_mani)
+        return _jac_fd_df(theta, r, res_tgt_df, res_df, tgt)
 
-    # phase 2: df32 polish from the f32 point
-    theta_df = _df.from_f32(th32)
+    # the warm start enters as an exact two-word split of the caller's
+    # f64 value: an f32-cast input would shift the NLP's residual by
+    # kappa * 2^-24 (~1e-4 on hard lanes) before the solve even starts,
+    # and would quantize the f64 MBH hop points the native twin sees
+    theta_df = DF(theta0_hi, theta0_lo)
     if optimal:
-        theta_f, r, cost, it_df, gain_f, has_b = _ratchet_loop_df(
-            res_df, res32, clamp_df, theta_df, polish_iters,
-            polish_iters + _OPT_BUDGET // 2, tol)
+        theta_f, r, cost, it, gain_f, has_b = _ratchet_loop_df(
+            res_df, jac_fn, clamp_df, theta_df, max_iters,
+            max_iters + _OPT_BUDGET, tol)
         opt_gain = jnp.where(has_b, gain_f, jnp.asarray(1e6, jnp.float32))
         lower, upper = _bounds_arrays(n_segments, max_shoot, max_coast,
                                       min_shoot, min_mani, max_mani,
@@ -745,44 +898,45 @@ def _refine_one_df(theta0, halo_hi, halo_lo, per_hi, per_lo, vstable,
             has_b, _mass_rate(res32, theta_f.hi, lower, upper),
             jnp.asarray(1e6, jnp.float32))
     else:
-        theta_f, r, cost, it_df = _lm_loop_df(res_df, res32, clamp_df,
-                                              theta_df, polish_iters, tol)
+        theta_f, r, cost, it = _lm_loop_df(res_df, jac_fn, clamp_df,
+                                           theta_df, max_iters, tol)
         opt_gain = jnp.asarray(1e6, jnp.float32)
         stationarity = jnp.asarray(1e6, jnp.float32)
 
+    r32 = _r32(r)
     finite = cost < 1e5
-    pos_err = jnp.where(finite, jnp.linalg.norm(r[:3]), 1e6)
-    vel_err = jnp.where(finite, jnp.linalg.norm(r[3:6]), 1e6)
+    pos_err = jnp.where(finite, jnp.linalg.norm(r32[:3]), 1e6)
+    vel_err = jnp.where(finite, jnp.linalg.norm(r32[3:6]), 1e6)
     final_mass = jnp.where(finite,
                            jnp.clip(theta_f.hi[63], mass_min, mass_max),
                            -1.0)
     term = _shoot(theta_f.hi, spiral_end32, thrust, n_segments)
     terminal_mass = jnp.where(jnp.all(jnp.isfinite(term)), term[6], -1.0)
     return (theta_f.hi, theta_f.lo, cost, pos_err, vel_err, final_mass,
-            terminal_mass, it32 + it_df, stationarity, opt_gain)
+            terminal_mass, it, stationarity, opt_gain)
 
 
-def _build_df(thrust, n_segments, start_bdry, max_iters, polish_iters,
+def _build_df(thrust, n_segments, start_bdry, max_iters,
               tol, max_shoot, max_coast, n_devices, min_shoot, min_mani,
               max_mani, mass_min, mass_max, optimal):
     spiral_end64, _l1x, e_l1 = _mission_constants(start_bdry)
     spiral_end_df = _df.const(np.asarray(spiral_end64, np.float64))
     spiral_end32 = jnp.asarray(spiral_end64, jnp.float32)
 
-    def batch(thetas, halo_hi, halo_lo, per_hi, per_lo, vstable):
+    def batch(th_hi, th_lo, halo_hi, halo_lo, per_hi, per_lo, vstable):
         return jax.vmap(
-            lambda th, hh, hl, ph, pl, vs: _refine_one_df(
-                th, hh, hl, ph, pl, vs, spiral_end_df, spiral_end32,
-                thrust, n_segments, max_iters, polish_iters, tol,
+            lambda ta, tb, hh, hl, ph, pl, vs: _refine_one_df(
+                ta, tb, hh, hl, ph, pl, vs, spiral_end_df, spiral_end32,
+                thrust, n_segments, max_iters, tol,
                 max_shoot, max_coast, min_shoot, min_mani, max_mani,
                 mass_min, mass_max, optimal)
-        )(thetas, halo_hi, halo_lo, per_hi, per_lo, vstable)
+        )(th_hi, th_lo, halo_hi, halo_lo, per_hi, per_lo, vstable)
 
     if n_devices > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
         sharding = NamedSharding(mesh, P("data"))
-        fn = jax.jit(batch, in_shardings=(sharding,) * 6,
+        fn = jax.jit(batch, in_shardings=(sharding,) * 7,
                      out_shardings=sharding)
     else:
         fn = jax.jit(batch)
@@ -909,8 +1063,7 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
                           mbh_rounds: int = 0,
                           mbh_sigma: float = 0.05,
                           mbh_seed: int = 0,
-                          precision: str = "f32",
-                          polish_iters: int = 12):
+                          precision: str = "f32"):
     """Solve + grade [N, 66] warm starts entirely on the accelerator.
 
     Drop-in twin of :func:`rdm_tpu.physics.oracle.evaluate_warmstarts_native`
@@ -924,11 +1077,11 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     and certifies ``inform = 1`` only at a stationary point of the mass
     objective; ``"feasible"`` stops at feasibility (``inform = 3``).
 
-    ``precision="df32"`` adds the mixed-precision polish phase
-    (``polish_iters`` double-float32 LM/ratchet iterations after the f32
-    bulk descent — see the section comment above): grading then matches
-    the f64 C++ oracle's semantics on high-sensitivity lanes instead of
-    flooring at f32 roundoff, still entirely on-device.
+    ``precision="df32"`` runs the WHOLE solve in double-float32 with a
+    forward-difference Jacobian — the same algorithm, budget, and
+    precision class as the f64 C++ oracle, entirely on-device (see the
+    section comment above): grading matches the f64 grader's semantics
+    on high-sensitivity lanes instead of flooring at f32 roundoff.
 
     ``n_devices`` > 1 shards each tile over that many devices of the
     default backend (0 = all of them).
@@ -949,7 +1102,7 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     # boundary value than other callers while sharing their cache slot
     if use_df:
         key = ("df32", float(thrust), int(n_segments), float(start_bdry),
-               int(max_iters), int(polish_iters), float(tol),
+               int(max_iters), float(tol),
                float(max_shoot), float(max_coast), int(n_devices),
                float(min_shoot), float(min_manifold_length),
                float(max_manifold_length), float(min_mass),
@@ -969,19 +1122,22 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
     from .oracle import _grade
 
     def _lane_arrays(thetas_np, energies_in):
-        """Per-lane device inputs for one tile: (theta, alpha) for f32;
-        (theta, + exact two-word splits of the host-f64 halo family
-        data) for df32."""
+        """Per-lane device inputs for one tile: (theta_f32, alpha) for
+        f32; exact two-word splits of the f64 warm starts AND of the
+        host-f64 halo family data for df32."""
         if not use_df:
-            return (thetas_np, np.asarray(energies_in, np.float32))
+            return (np.asarray(thetas_np, np.float32),
+                    np.asarray(energies_in, np.float32))
         from . import halo as _halo
+        th64 = np.asarray(thetas_np, np.float64)
+        th_hi = th64.astype(np.float32)
         sd = _halo.interp_seed(np.asarray(energies_in, np.float64))
         s64 = np.atleast_2d(np.asarray(sd["state0"], np.float64))
         p64 = np.atleast_1d(np.asarray(sd["period"], np.float64))
         vs = np.atleast_2d(np.asarray(sd["vstable"], np.float64))
         s_hi = s64.astype(np.float32)
         p_hi = p64.astype(np.float32)
-        return (thetas_np,
+        return (th_hi, (th64 - th_hi).astype(np.float32),
                 s_hi, (s64 - s_hi).astype(np.float32),
                 p_hi, (p64 - p_hi).astype(np.float32),
                 vs.astype(np.float32))
@@ -997,7 +1153,9 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
         return [np.asarray(o) for o in outs]
 
     def _solve_once(guesses_in, energies_in):
-        g = np.asarray(guesses_in, np.float32)
+        # df32 keeps the caller's f64 warm starts exact (split to two
+        # words at _lane_arrays); the f32 path quantizes here as before
+        g = np.asarray(guesses_in, np.float64 if use_df else np.float32)
         n = len(g)
         thetas_np = g[:, :NVAR]
         e_np = np.asarray(energies_in, np.float64)

@@ -52,7 +52,7 @@ def main(argv=None):
 
     S = np.load(FLAGSHIP).astype(np.float64)[: args.n]
     he, G = S[:, 0], S[:, 1:]
-    se0, _l1x, _e_l1 = _mission_constants(True)
+    se0, _l1x, _e_l1 = _mission_constants(6.48423370092)  # default start_bdry
 
     # perturbation set: per-axis bumps at the stated modelling-error
     # scale, plus random combined perturbations at 3 magnitudes

@@ -221,7 +221,7 @@ def test_df32_defect_matches_native_f64():
     amplification of the 2^-48-vs-2^-52 gap plus the halo-data
     interpolation both sides share (native/__init__.py:_halo_arrays)."""
     G, H = _uniform_guesses(8, seed=5)
-    df = refine_warmstarts_tpu(G, H, max_iters=0, polish_iters=0,
+    df = refine_warmstarts_tpu(G, H, max_iters=0,
                                precision="df32", solver_mode="feasible")
     f32 = refine_warmstarts_tpu(G, H, max_iters=0, solver_mode="feasible")
     nat = evaluate_warmstarts_native(G, H, max_iters=0, refine=False,
