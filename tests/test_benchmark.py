@@ -152,3 +152,50 @@ def test_image_metrics_psnr_ssim():
     m2 = M.compute_image_metrics(noisy, ref)
     assert 10 < m2["psnr_mean"] < m["psnr_mean"]
     assert m2["ssim_mean"] < m["ssim_mean"]
+
+
+@pytest.mark.slow
+def test_regrade_benchmark_tool(tmp_path):
+    """scripts/regrade_benchmark.py re-runs ONLY physical validation on a
+    stored artifact and keeps the pre-regrade numbers in the JSON."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "regrade_benchmark",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "regrade_benchmark.py"))
+    regrade_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(regrade_mod)
+
+    # synthesize a physical-space artifact via the real inverse pipeline
+    bench = GTOHaloBenchmarker.__new__(GTOHaloBenchmarker)
+    bench.total_spherical_clips = 0
+    bench.total_spherical_elements = 0
+    rng = np.random.default_rng(0)
+    model_space = rng.uniform(0.2, 0.8, (4, 67))
+    samples = bench._inverse_pipeline(model_space)
+
+    gto_dir = tmp_path / "artifact" / "gto_halo"
+    os.makedirs(gto_dir)
+    np.save(gto_dir / "generated_samples.npy", samples)
+    stale = {"gto_halo_metrics": {"has_nan": False},
+             "physical_validation": {
+                 "feasible_ratio": 0.25, "local_optimal_ratio": 0.0,
+                 "oracle_backend": "tpu",
+                 "oracle_grading_precision": "f32"}}
+    with open(gto_dir / "gto_halo_results.json", "w") as f:
+        json.dump(stale, f)
+
+    new = regrade_mod.regrade(
+        str(tmp_path / "artifact"), oracle_backend="jax",
+        oracle_precision="df32", mbh_rounds=0, max_iters=2,
+        solver_mode="feasible")
+    assert new["oracle_backend"] == "jax"
+    assert new["regraded_from"]["feasible_ratio"] == 0.25
+    assert new["regraded_from"]["oracle_grading_precision"] == "f32"
+
+    updated = json.load(open(gto_dir / "gto_halo_results.json"))
+    assert updated["physical_validation_pre_regrade"]["feasible_ratio"] == 0.25
+    assert updated["physical_validation"]["total_tested"] == 4
+    summary = open(gto_dir / "summary.txt").read()
+    assert "PHYSICAL_VALIDATION" in summary
+    assert "pre_regrade".upper() not in summary
