@@ -373,6 +373,14 @@ class UNet1D(nn.Module):
                                 cond_scale: float = 1.0, rescaled_phi: float = 0.0):
         """CFG inference (legacy ``...diffusion.py:476-507``) as ONE 2B-batch
         forward: [labels ; mask_val] through a single apply."""
+        if cond_scale == 1.0:
+            # Reference early-return (``...diffusion.py:486-487``): at
+            # cond_scale 1 the combination is identically the conditional
+            # logits, so run ONE B-batch forward — bit-identical to the
+            # plain forward (a 2B-batch evaluation tiles differently and
+            # drifts ~1e-6) and half the FLOPs.
+            return self.apply({"params": params}, x, time, class_labels,
+                              cond_drop_prob=0.0)
         B = x.shape[0]
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([time, time], axis=0)
@@ -380,8 +388,6 @@ class UNet1D(nn.Module):
         cl2 = jnp.concatenate([class_labels, null], axis=0)
         out = self.apply({"params": params}, x2, t2, cl2, cond_drop_prob=0.0)
         logits, null_logits = out[:B], out[B:]
-        if cond_scale == 1.0:
-            return logits
         scaled = null_logits + (logits - null_logits) * cond_scale
         if rescaled_phi == 0.0:
             return scaled
