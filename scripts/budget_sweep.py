@@ -130,6 +130,14 @@ def main(argv=None):
     p.add_argument("--out", default="benchmark_results/budget_sweep.json")
     p.add_argument("--sets", default=None,
                    help="comma-separated subset of set names to run")
+    p.add_argument("--extra_set", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="additional sample set(s) to grade: a .npy of "
+                        "physical-unit [N, 67] vectors as written by the "
+                        "benchmark inverse pipeline (e.g. an ODE-sampler "
+                        "artifact's generated_samples.npy); repeatable")
+    p.add_argument("--n_extra", type=int, default=None,
+                   help="cap the row count of every --extra_set")
     args = p.parse_args(argv)
 
     from rdm_tpu.physics.oracle import evaluate_warmstarts_native
@@ -140,6 +148,10 @@ def main(argv=None):
         sets[name] = _load_reference_set(path)
     sets["uniform_floor"] = _uniform_floor(args.n_control)
     sets["gt_ceiling"] = _gt_ceiling(args.n_control)
+    for spec in args.extra_set:
+        name, path = spec.split("=", 1)
+        s = np.load(path).astype(np.float64)
+        sets[name] = s[: args.n_extra] if args.n_extra else s
     if args.sets:
         keep = set(args.sets.split(","))
         sets = {k: v for k, v in sets.items() if k in keep}
