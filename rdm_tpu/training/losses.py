@@ -59,8 +59,26 @@ def get_optimizer(config):
     return optax.chain(*parts)
 
 
+#: remat policies for the score-model forward inside the training loss.
+#: Offered because the step profile looks remat-friendly (~33 TF/s of
+#: the chip's 197 vs ~550 GB/s of its 819 at batch 4096), but the
+#: interleaved A/B on v5e measured recompute LOSING: none 61 ms/step,
+#: dots 71 ms, full 78 ms — at 9x9 spatial dims the saved activations
+#: are tiny and XLA's schedule already overlaps their HBM traffic
+#: (BENCH_NOTES.md "remat study").  The knob stays for memory-
+#: constrained deployments (larger models/batches on smaller chips);
+#: gradients match across policies (recompute replays the same ops;
+#: differences only from fusion reassociation, <= 1e-11 on f32).
+_REMAT_POLICIES = {
+    "none": None,
+    "dots": jax.checkpoint_policies.checkpoint_dots,
+    "full": jax.checkpoint_policies.nothing_saveable,
+}
+
+
 def get_loss_fn(sde, model, train: bool, reduce_mean: bool = True,
-                likelihood_weighting: bool = True, eps: float = 1e-5):
+                likelihood_weighting: bool = True, eps: float = 1e-5,
+                remat: str = "none"):
     """Returns ``loss_fn(params, batch, class_labels, rng) -> scalar``.
 
     ``loss_fn`` accepts optional keyword overrides ``t``/``z`` replacing
@@ -68,6 +86,14 @@ def get_loss_fn(sde, model, train: bool, reduce_mean: bool = True,
     parity test to feed the exact noise sequence the reference's torch
     loss drew (``losses.py:80-81``) into this step.
     """
+    policy = _REMAT_POLICIES[remat]
+
+    def apply_fn(params, perturbed, time_cond, class_labels, rngs):
+        return model.apply({"params": params}, perturbed, time_cond,
+                           class_labels=class_labels, train=train, rngs=rngs)
+
+    if policy is not None and train:
+        apply_fn = jax.checkpoint(apply_fn, policy=policy)
 
     def loss_fn(params, batch, class_labels, rng, t=None, z=None):
         kt, kz, kd, kc = jax.random.split(rng, 4)
@@ -81,8 +107,7 @@ def get_loss_fn(sde, model, train: bool, reduce_mean: bool = True,
 
         _, time_cond = sde.marginal_prob(jnp.zeros_like(batch), t)
         rngs = {"dropout": kd, "cond_drop": kc} if train else None
-        score = model.apply({"params": params}, perturbed, time_cond,
-                            class_labels=class_labels, train=train, rngs=rngs)
+        score = apply_fn(params, perturbed, time_cond, class_labels, rngs)
         target = cube.score_hk(perturbed, mean, std)
 
         if likelihood_weighting:
@@ -129,11 +154,12 @@ def _guarded_update(state: TrainState, loss, grads, tx):
                       opt_state=opt_state, ema=ema)
 
 
-def make_train_step(sde, model, tx, reduce_mean=False, likelihood_weighting=False):
+def make_train_step(sde, model, tx, reduce_mean=False, likelihood_weighting=False,
+                    remat="none"):
     """One fused training step: value_and_grad -> optax update -> EMA.
     jit (optionally with shardings) is applied by the caller."""
     loss_fn = get_loss_fn(sde, model, train=True, reduce_mean=reduce_mean,
-                          likelihood_weighting=likelihood_weighting)
+                          likelihood_weighting=likelihood_weighting, remat=remat)
 
     def step_fn(state: TrainState, batch, class_labels, rng, t=None, z=None):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
@@ -145,7 +171,7 @@ def make_train_step(sde, model, tx, reduce_mean=False, likelihood_weighting=Fals
 
 def make_train_step_on_device(sde, model, tx, use_labels: bool,
                               reduce_mean=False, likelihood_weighting=False,
-                              batch_size: int | None = None):
+                              batch_size: int | None = None, remat="none"):
     """Train step with a DEVICE-RESIDENT dataset: the whole (replicated)
     dataset is a step argument and the minibatch is gathered on-device —
     the north star's "pkl -> pad -> reshape as on-device gather"
@@ -163,7 +189,7 @@ def make_train_step_on_device(sde, model, tx, use_labels: bool,
         round trip.
     """
     loss_fn = get_loss_fn(sde, model, train=True, reduce_mean=reduce_mean,
-                          likelihood_weighting=likelihood_weighting)
+                          likelihood_weighting=likelihood_weighting, remat=remat)
 
     def _body(state: TrainState, images, labels, idx, rng):
         batch = jnp.take(images, idx, axis=0)

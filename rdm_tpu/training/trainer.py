@@ -138,16 +138,18 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
             mprint(f"dataset resident on device "
                    f"({(imgs_np.nbytes + lbls_np.nbytes) / 1e6:.1f} MB)")
 
+    remat = cfg.training.get("remat", "none")
     if device_data is not None:
         train_step = jit_train_step_on_device(make_train_step_on_device(
             sde, model, tx, use_labels=classes,
             reduce_mean=cfg.training.reduce_mean,
             likelihood_weighting=cfg.training.likelihood_weighting,
-            batch_size=cfg.training.batch_size), mesh)
+            batch_size=cfg.training.batch_size, remat=remat), mesh)
     else:
         train_step = jit_train_step(make_train_step(
             sde, model, tx, reduce_mean=cfg.training.reduce_mean,
-            likelihood_weighting=cfg.training.likelihood_weighting), mesh)
+            likelihood_weighting=cfg.training.likelihood_weighting,
+            remat=remat), mesh)
     eval_step = jit_eval_step(make_eval_step(
         sde, model, reduce_mean=cfg.training.reduce_mean,
         likelihood_weighting=cfg.training.likelihood_weighting), mesh)

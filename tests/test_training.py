@@ -186,3 +186,26 @@ def test_likelihood_weighting_branch(setup):
     batch = jax.random.uniform(jax.random.PRNGKey(1), (8, 9, 9, 1))
     loss = loss_fn(state.params, batch, jnp.zeros((8, 1)), jax.random.PRNGKey(3))
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_remat_policies_match_gradients(setup):
+    """training.remat recomputes the forward in the backward; the loss and
+    gradients must match the no-remat program (same op sequence — any
+    difference is fusion reassociation at the ~1e-11 level)."""
+    cfg, sde, model, tx, state = setup
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (8, 9, 9, 1))
+    labels = batch[:, 0, 0, :]
+    key = jax.random.PRNGKey(4)
+    grads = {}
+    for remat in ("none", "dots", "full"):
+        lf = get_loss_fn(sde, model, train=True, reduce_mean=False,
+                         likelihood_weighting=False, remat=remat)
+        loss, g = jax.jit(jax.value_and_grad(lf))(
+            state.params, batch, labels, key)
+        grads[remat] = (float(loss), g)
+    for remat in ("dots", "full"):
+        assert grads[remat][0] == grads["none"][0]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-9),
+            grads[remat][1], grads["none"][1])
