@@ -85,6 +85,11 @@ _OPT_GAIN_MAX = 64.0      # kg cap: gain grows 1.5x per success up to this,
 _OPT_GAIN_TOL = 0.25      # kg: ratchet collapse below this certifies inform 1
 
 _CACHE = {}
+#: tile shapes already compiled per solver-config cache key — subsequent
+#: calls (e.g. MBH hops over the shrinking stuck set) pad to a seen shape
+#: instead of compiling a smaller bucket (see the tile-selection comment
+#: in refine_warmstarts_tpu._solve_once)
+_TILES_SEEN = {}
 
 
 def _clamp_vars(theta, n_segments, max_shoot, max_coast, min_shoot=0.0,
@@ -1161,16 +1166,27 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
         e_np = np.asarray(energies_in, np.float64)
 
         if n <= batch_tile:
-            # pad to the next power of two (and the device count): every
-            # distinct batch shape costs a full XLA compile of the solver
-            # graph, and MBH hops shrink the batch every round — bucketing
-            # bounds the compile count at log2(batch_tile) shapes
-            target = max(n_devices, 8)
-            while target < n:
-                target *= 2
-            target = min(target, batch_tile)
-            if target % n_devices:
-                target += n_devices - target % n_devices
+            # Prefer a tile shape this solver config has ALREADY compiled:
+            # every distinct batch shape costs a full XLA compile of the
+            # solver graph (~3-4 min for the df32 program), which dwarfs
+            # the device time of solving padded duplicate lanes (a full
+            # 1024-lane df32 solve is ~25 s).  MBH hops shrink the batch
+            # every round, so without reuse an MBH-8 grading pays
+            # log2(batch)-ish compiles — measured ~30 min wall of which
+            # ~25 min was compile.  Falls back to power-of-two bucketing
+            # (bounding the compile count) for never-seen sizes.
+            seen = _TILES_SEEN.setdefault(key, set())
+            fits = [t for t in seen if n <= t <= batch_tile]
+            if fits:
+                target = min(fits)
+            else:
+                target = max(n_devices, 8)
+                while target < n:
+                    target *= 2
+                target = min(target, batch_tile)
+                if target % n_devices:
+                    target += n_devices - target % n_devices
+                seen.add(target)
             pad = max(target, n) - n
             if pad:
                 thetas_np = np.concatenate(
@@ -1178,6 +1194,7 @@ def refine_warmstarts_tpu(guesses: np.ndarray, halo_energies: np.ndarray,
                 e_np = np.concatenate([e_np, np.repeat(e_np[-1:], pad)])
 
         if n > batch_tile:
+            _TILES_SEEN.setdefault(key, set()).add(batch_tile)
             outs = []
             for lo in range(0, n, batch_tile):
                 t = thetas_np[lo:lo + batch_tile]
