@@ -1,0 +1,132 @@
+"""NFE-vs-quality sweep: how many PC steps does warm-start quality need?
+
+The reference hardwires N=1000 predictor steps (``configs/train.yaml:29``)
+and never measures whether fewer suffice — at ~30 s/batch per configuration
+on the A100 plus ~17-20 s/sample SNOPT grading, the experiment would cost
+hours per point.  On TPU each point is seconds of sampling plus ~2 min of
+on-device df32 oracle grading, so the step count becomes a measured knob:
+if N=250 grades the same as N=1000, effective sampling throughput is 4x
+the headline number at no quality cost.
+
+For each N in ``--steps``, samples n trajectories with the PC/EM sampler
+(w=0, the reference benchmark configuration), grades them with the
+on-device oracle at LM-30 cold and LM-30 + MBH-8 (the budget README's
+same-oracle table headlines), and records steady-state sampling time
+measured on a second jit call (first call pays compile).
+
+Usage:
+    python scripts/nfe_sweep.py ["Training Runs/<run>"] [n]
+        [--steps 100,250,500,1000] [--precision df32]
+
+Artifact: benchmark_results/nfe_sweep.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("run_dir", nargs="?", default="Training Runs/2026.08.17_184657")
+    p.add_argument("n", nargs="?", type=int, default=1024)
+    p.add_argument("--steps", default="100,250,500,1000")
+    p.add_argument("--precision", default="df32")
+    p.add_argument("--max_iters", type=int, default=30)
+    p.add_argument("--mbh_rounds", type=int, default=8)
+    p.add_argument("--out", default="benchmark_results/nfe_sweep.json")
+    p.add_argument("--timing_only", action="store_true",
+                   help="re-measure steady sampling times on an idle host "
+                        "and merge into an existing artifact (the graded "
+                        "samples are seed-deterministic, so quality "
+                        "columns carry over)")
+    args = p.parse_args()
+
+    from rdm_tpu.benchmark.gto_halo import (GTOHaloBenchmarkConfig,
+                                            GTOHaloBenchmarker)
+    from rdm_tpu.benchmark.common import generate_raw_samples
+    from rdm_tpu.physics.solver_tpu import refine_warmstarts_tpu
+    from rdm_tpu.sde import RVESDE
+
+    bench = GTOHaloBenchmarker(GTOHaloBenchmarkConfig(
+        model_path=args.run_dir, num_samples=args.n, batch_size=args.n,
+        enable_physical_validation=False, output_dir="/tmp/nfe_sweep"))
+    cfg = bench.lm.cfg
+
+    prior = {}
+    if args.timing_only and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = {r["steps"]: r for r in json.load(f)["rows"]}
+
+    rows = []
+    for steps in [int(s) for s in args.steps.split(",")]:
+        sde = RVESDE(cfg.sde.sigma_min, cfg.sde.sigma_max, steps)
+        if args.timing_only and steps in prior:
+            _, t = generate_raw_samples(bench.lm, 2 * args.n, args.n,
+                                        sde_override=sde, seed=0)
+            row = dict(prior[steps],
+                       steady_sampling_s=round(min(t[1:]), 3),
+                       traj_per_s=round(args.n / min(t[1:]), 1))
+            rows.append(row)
+            print(row)
+            continue
+        # Two batches through ONE jitted runner: batch 1 pays
+        # trace+compile, batch 2 is the steady-state time (a separate
+        # generate_raw_samples call would re-trace and re-load the XLA
+        # cache, inflating sub-second step counts).  Grades the first n.
+        raw2, t = generate_raw_samples(bench.lm, 2 * args.n, args.n,
+                                       sde_override=sde, seed=0)
+        raw, steady = raw2[:args.n], min(t[1:])
+        phys = bench._inverse_pipeline(raw)
+        guesses = phys[:, 1:].astype(np.float32)
+        alphas = phys[:, 0].astype(np.float32)
+        t0 = time.time()
+        cold = refine_warmstarts_tpu(guesses, alphas,
+                                     max_iters=args.max_iters,
+                                     precision=args.precision)
+        mbh = refine_warmstarts_tpu(guesses, alphas,
+                                    max_iters=args.max_iters,
+                                    mbh_rounds=args.mbh_rounds,
+                                    precision=args.precision)
+        grade_s = time.time() - t0
+        row = {
+            "steps": steps,
+            "steady_sampling_s": round(steady, 3),
+            "traj_per_s": round(args.n / steady, 1),
+            "feasible_cold": round(float(cold["feasible"].mean()), 4),
+            "optimal_cold": round(float(cold["optimal"].mean()), 4),
+            "median_pos_err_cold": round(float(np.median(cold["pos_err"])), 4),
+            f"feasible_mbh{args.mbh_rounds}":
+                round(float(mbh["feasible"].mean()), 4),
+            f"optimal_mbh{args.mbh_rounds}":
+                round(float(mbh["optimal"].mean()), 4),
+            "grading_s": round(grade_s, 1),
+        }
+        rows.append(row)
+        print(row)
+
+    out = {
+        "run_dir": args.run_dir,
+        "n": args.n,
+        "sampler": "pc/euler_maruyama w=0",
+        "oracle": {"backend": "tpu", "precision": args.precision,
+                   "max_iters": args.max_iters,
+                   "mbh_rounds": args.mbh_rounds,
+                   "solver_mode": "optimal"},
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

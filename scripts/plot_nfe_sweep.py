@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Render quality-vs-step-count curves from nfe_sweep.json.
+
+x = PC predictor steps (log scale), y = feasible ratio under the
+on-device df32 oracle, one line per grading budget (LM-30 cold,
+LM-30 + MBH-8); each point is annotated with the measured steady-state
+sampling throughput so the quality/throughput trade reads off one chart.
+Style matches plot_budget_sweep.py.  Writes
+``benchmark_results/nfe_sweep.png``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+TEXT, MUTED, GRID = "#333333", "#666666", "#e3e3e3"
+
+
+def main(path="benchmark_results/nfe_sweep.json",
+         out="benchmark_results/nfe_sweep.png"):
+    d = json.load(open(path))
+    rows = sorted(d["rows"], key=lambda r: r["steps"])
+    steps = [r["steps"] for r in rows]
+    mbh_key = next(k for k in rows[0] if k.startswith("feasible_mbh"))
+    series = [
+        ("feasible_cold", "LM-30 cold", "#eb6834"),
+        (mbh_key, f"LM-30 + MBH-{mbh_key.split('mbh')[1]}", "#2a78d6"),
+    ]
+
+    fig, ax = plt.subplots(figsize=(8.4, 4.8), dpi=150)
+    for key, label, color in series:
+        ys = [r[key] for r in rows]
+        ax.plot(steps, ys, "-", lw=2.0, color=color, zorder=3,
+                marker="o", ms=4, mec="white", mew=0.8)
+        ax.annotate(label, (steps[-1], ys[-1]), textcoords="offset points",
+                    xytext=(8, 0), fontsize=8, color=TEXT, va="center")
+    for r in rows:
+        ax.annotate(f"{r['traj_per_s']:.0f} traj/s",
+                    (r["steps"], r["feasible_cold"]),
+                    textcoords="offset points", xytext=(0, -14),
+                    fontsize=7.5, color=MUTED, ha="center")
+
+    ax.set_xscale("log")
+    ax.set_xticks(steps)
+    ax.get_xaxis().set_major_formatter(matplotlib.ticker.ScalarFormatter())
+    ax.set_xlim(right=ax.get_xlim()[1] * 4)  # room for direct labels
+    ax.set_ylim(-0.03, 1.06)
+    ax.set_xlabel("PC predictor steps (reference default: 1000)",
+                  fontsize=9, color=TEXT)
+    ax.set_ylabel("feasible ratio (on-device df32 oracle)",
+                  fontsize=9, color=TEXT)
+    ax.set_title("Warm-start quality vs sampler step count — flagship "
+                 f"checkpoint, n={d['n']}", fontsize=10, color=TEXT,
+                 loc="left")
+    ax.grid(True, which="major", color=GRID, lw=0.6, zorder=0)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color(MUTED)
+    ax.tick_params(colors=MUTED, labelsize=8)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    fig.savefig(out)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
