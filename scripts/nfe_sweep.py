@@ -49,6 +49,24 @@ def main():
                         "columns carry over)")
     args = p.parse_args()
 
+    prior, prior_blob = {}, None
+    if args.timing_only:
+        # --timing_only must never fall through to the full (expensive)
+        # grading path: quality columns are carried over from the prior
+        # artifact, so its absence — or a step with no prior row — is a
+        # usage error, not a reason to silently regrade.  Checked before
+        # the heavy model load so misuse fails in milliseconds.
+        if not os.path.exists(args.out):
+            p.error(f"--timing_only needs an existing artifact at "
+                    f"{args.out}")
+        with open(args.out) as f:
+            prior_blob = json.load(f)
+        prior = {r["steps"]: r for r in prior_blob["rows"]}
+        missing = [s for s in args.steps.split(",") if int(s) not in prior]
+        if missing:
+            p.error(f"--timing_only: steps {missing} have no prior row in "
+                    f"{args.out}; run a full grading pass for them first")
+
     from rdm_tpu.benchmark.gto_halo import (GTOHaloBenchmarkConfig,
                                             GTOHaloBenchmarker)
     from rdm_tpu.benchmark.common import generate_raw_samples
@@ -60,15 +78,10 @@ def main():
         enable_physical_validation=False, output_dir="/tmp/nfe_sweep"))
     cfg = bench.lm.cfg
 
-    prior = {}
-    if args.timing_only and os.path.exists(args.out):
-        with open(args.out) as f:
-            prior = {r["steps"]: r for r in json.load(f)["rows"]}
-
     rows = []
     for steps in [int(s) for s in args.steps.split(",")]:
         sde = RVESDE(cfg.sde.sigma_min, cfg.sde.sigma_max, steps)
-        if args.timing_only and steps in prior:
+        if args.timing_only:
             _, t = generate_raw_samples(bench.lm, 2 * args.n, args.n,
                                         sde_override=sde, seed=0)
             row = dict(prior[steps],
@@ -112,14 +125,26 @@ def main():
         rows.append(row)
         print(row)
 
+    # In --timing_only mode the quality columns were graded under the
+    # PRIOR run's oracle configuration — carry its metadata over verbatim
+    # so a mismatched re-timing invocation cannot mislabel the artifact.
+    if prior_blob is not None:
+        oracle_meta = prior_blob["oracle"]
+    else:
+        oracle_meta = {"backend": "tpu", "precision": args.precision,
+                       "max_iters": args.max_iters,
+                       "mbh_rounds": args.mbh_rounds,
+                       "solver_mode": "optimal"}
     out = {
         "run_dir": args.run_dir,
         "n": args.n,
         "sampler": "pc/euler_maruyama w=0",
-        "oracle": {"backend": "tpu", "precision": args.precision,
-                   "max_iters": args.max_iters,
-                   "mbh_rounds": args.mbh_rounds,
-                   "solver_mode": "optimal"},
+        "oracle": oracle_meta,
+        "timing_note": "steady_sampling_s is the min of the post-compile "
+                       "batches of one jitted runner; at low step counts "
+                       "(N<=250) a fixed per-call dispatch/transfer floor "
+                       "of a few hundred ms dominates, so traj_per_s "
+                       "scales sub-linearly in 1/N there",
         "rows": rows,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
