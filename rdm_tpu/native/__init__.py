@@ -23,6 +23,8 @@ Public surface:
   ``rdm_tpu.physics.manifold.manifold_target``).
 * ``evaluate_batch(...)`` — forward-backward midpoint defect of every
   guess as-is, on a std::thread pool.
+* ``residual_batch(...)`` — the raw [N, 7] residual vectors (the hook
+  external solvers build on; ``scripts/second_solver_crosscheck.py``).
 * ``refine_batch(...)`` — Levenberg-Marquardt "SNOPT-lite" local solve of
   every warm start against the manifold boundary condition, with the
   optional mass-ascent optimal phase (the native equivalent of the role
@@ -124,6 +126,11 @@ def _load() -> Optional[ctypes.CDLL]:
             D, D, D, c_d, c_d,            # halo seeds/periods/vstables, mani bounds
             D, D, D, D, c_i]              # cost, pos, vel, mass, n_threads
         lib.cr3bp_evaluate_batch.restype = None
+        lib.cr3bp_residual_batch.argtypes = [
+            D, c_i, c_i, c_d, D,          # guesses, n, n_segments, thrust, spiral
+            D, D, D, c_d, c_d,            # halo seeds/periods/vstables, mani bounds
+            D, c_i]                       # r_out [n,7], n_threads
+        lib.cr3bp_residual_batch.restype = None
         lib.cr3bp_refine_batch.argtypes = [
             D, c_i, c_i, c_d, D,          # guesses, n, n_segments, thrust, spiral
             D, D, D, c_d, c_d,            # halo data, mani bounds
@@ -218,6 +225,41 @@ def evaluate_batch(guesses, halo_energies, spiral_end,
         float(min_manifold_length), float(max_manifold_length),
         _dptr(cost), _dptr(pos), _dptr(vel), _dptr(mass), n_threads)
     return cost, pos, vel, mass
+
+
+def residual_batch(guesses, halo_energies, spiral_end,
+                   n_segments: int = 20, thrust: float = 1.0,
+                   min_manifold_length: float = 5.0,
+                   max_manifold_length: float = 11.0,
+                   n_threads: int = 0, halo_data=None):
+    """Raw [N, 7] forward-backward residual vectors (no refinement).
+
+    The hook for external solvers (scipy TRF/SLSQP in
+    ``scripts/second_solver_crosscheck.py``) that need the residual — not
+    its norm — at arbitrary points.  ``halo_data`` may carry precomputed
+    ``(seeds[N,6], periods[N], vstables[N,6])`` so per-Jacobian batches of
+    perturbations of ONE sample skip re-interpolating the halo family."""
+    lib = _load()
+    assert lib is not None, _build_error
+    g = np.ascontiguousarray(guesses, np.float64)
+    sp = np.ascontiguousarray(spiral_end, np.float64)
+    n = g.shape[0]
+    assert g.shape == (n, 66) and sp.shape == (7,)
+    if halo_data is None:
+        seeds, periods, vstables = _halo_arrays(halo_energies)
+    else:
+        seeds, periods, vstables = (
+            np.ascontiguousarray(a, np.float64) for a in halo_data)
+    assert seeds.shape == (n, 6) and periods.shape == (n,)
+    r = np.empty((n, 7), np.float64)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.cr3bp_residual_batch(
+        _dptr(g), n, int(n_segments), float(thrust), _dptr(sp),
+        _dptr(seeds), _dptr(periods), _dptr(vstables),
+        float(min_manifold_length), float(max_manifold_length),
+        _dptr(r), n_threads)
+    return r
 
 
 def refine_batch(guesses, halo_energies, spiral_end,

@@ -752,6 +752,25 @@ void cr3bp_evaluate_batch(const double* guesses, int n, int n_segments,
   });
 }
 
+// Batched raw residual evaluation: the 7-vector forward-backward
+// residual of each row (no norms, no refinement).  This is the hook the
+// second-solver cross-check (scripts/second_solver_crosscheck.py) builds
+// scipy TRF/SLSQP solves on: an algorithmically different optimizer
+// minimising the IDENTICAL f64 residual, so graded feasibility can be
+// tested for solver-family invariance.
+void cr3bp_residual_batch(const double* guesses, int n, int n_segments,
+                          double thrust_n, const double* spiral_end,
+                          const double* halo_seeds, const double* halo_periods,
+                          const double* halo_vstables, double min_mani,
+                          double max_mani, double* r_out, int n_threads) {
+  parallel_for(n, n_threads, [&](int i) {
+    HaloData h{halo_seeds + 6 * i, halo_periods[i], halo_vstables + 6 * i,
+               min_mani, max_mani};
+    residual7(guesses + NVAR * i, n_segments, thrust_n, spiral_end, h,
+              r_out + NRES * i);
+  });
+}
+
 // Batched LM solve ("SNOPT-lite"): refined guesses written in place of a
 // copy of the inputs; optimal != 0 additionally runs the mass-ascent
 // phase and reports its stationarity certificate.

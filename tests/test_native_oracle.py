@@ -196,3 +196,23 @@ def test_hybrid_polish_dominates_f32():
     assert np.all(hyb["feasible"] >= f32["feasible"])
     assert np.all(hyb["cost"] <= f32["cost"] + 1e-12)
     assert np.all(hyb["iters"] >= f32["iters"])
+
+
+def test_residual_batch_matches_evaluate_batch():
+    """residual_batch returns the raw 7-vectors whose norm IS
+    evaluate_batch's cost — the contract the second-solver cross-check
+    (scripts/second_solver_crosscheck.py) builds scipy TRF/SLSQP on."""
+    from rdm_tpu.physics import oracle
+
+    g, e = _random_guesses(12, seed=3)
+    sp, _, _ = _mission()
+    r = native.residual_batch(g, e, sp)
+    assert r.shape == (12, 7)
+    cost, pos, vel, _ = native.evaluate_batch(g, e, sp)
+    np.testing.assert_allclose(np.linalg.norm(r, axis=1), cost, rtol=1e-12)
+    np.testing.assert_allclose(np.linalg.norm(r[:, :3], axis=1), pos,
+                               rtol=1e-12)
+    # precomputed halo_data path (the per-Jacobian fast path) is identical
+    hd = native._halo_arrays(e)
+    r2 = native.residual_batch(g, None, sp, halo_data=hd, n_threads=1)
+    np.testing.assert_array_equal(r, r2)
