@@ -122,8 +122,36 @@ def _gt_ceiling(n: int) -> np.ndarray:
     return np.concatenate([alpha_phys[:, None], out], axis=1)
 
 
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial proportion."""
+    p = k / n
+    den = 1 + z * z / n
+    centre = (p + z * z / (2 * n)) / den
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    return [round(max(0.0, centre - half), 4),
+            round(min(1.0, centre + half), 4)]
+
+
+def annotate_cis(path: str):
+    """Add 95% Wilson CIs to every cell of an existing artifact (k is
+    recovered exactly from ratio * n)."""
+    blob = json.load(open(path))
+    for c in blob["cells"]:
+        k = int(round(c["feasible_ratio"] * c["n"]))
+        c["feasible_ci95"] = wilson_ci(k, c["n"])
+    blob["ci_note"] = ("feasible_ci95 = 95% Wilson score interval on "
+                       "feasible_ratio at the cell's n")
+    with open(path + ".tmp", "w") as f:
+        json.dump(blob, f, indent=2)
+    os.replace(path + ".tmp", path)
+    print(f"annotated {sum(1 for _ in blob['cells'])} cells in {path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--annotate_cis", action="store_true",
+                   help="only (re)compute feasible_ci95 on the existing "
+                        "artifact and exit — no grading")
     p.add_argument("--n_flagship", type=int, default=1024)
     p.add_argument("--n_control", type=int, default=256,
                    help="n for the uniform floor and GT ceiling rows")
@@ -139,6 +167,10 @@ def main(argv=None):
     p.add_argument("--n_extra", type=int, default=None,
                    help="cap the row count of every --extra_set")
     args = p.parse_args(argv)
+
+    if args.annotate_cis:
+        annotate_cis(args.out)
+        return
 
     from rdm_tpu.physics.oracle import evaluate_warmstarts_native
 
@@ -198,6 +230,7 @@ def main(argv=None):
                 "set": name, "n": int(len(G)),
                 "max_iters": it, "mbh_rounds": mbh,
                 "feasible_ratio": float(feas.mean()),
+                "feasible_ci95": wilson_ci(int(feas.sum()), len(G)),
                 "local_optimal_ratio": float(res["optimal"].mean()),
                 "avg_final_mass_feasible":
                     float(res["final_mass"][feas].mean()) if feas.any() else None,
