@@ -76,6 +76,10 @@ class GTOHaloBenchmarkConfig:
     # oracle's semantics (solver_tpu.py mixed-precision section); "f32"
     # is the round-2 behaviour (faster, floors at kappa * 2^-24)
     oracle_precision: str = "df32"
+    # override the run config's SDE discretisation steps for sampling
+    # (None = the run's own N, the reference's hardwired 1000); the NFE
+    # sweep (benchmark_results/nfe_sweep.json) motivates N=250
+    num_steps: Optional[int] = None
 
 
 class GTOHaloBenchmarker:
@@ -92,9 +96,16 @@ class GTOHaloBenchmarker:
 
     # ------------------------------------------------------------------ #
     def generate_samples(self):
+        sde_override = None
+        if self.config.num_steps:
+            from rdm_tpu.sde import RVESDE
+            c = self.lm.cfg.sde
+            sde_override = RVESDE(c.sigma_min, c.sigma_max,
+                                  int(self.config.num_steps))
         raw, times = generate_raw_samples(
             self.lm, self.config.num_samples, self.config.batch_size,
-            guidance_weight=self.config.guidance_weight)
+            guidance_weight=self.config.guidance_weight,
+            sde_override=sde_override)
         return self._inverse_pipeline(raw), times
 
     def _inverse_pipeline(self, samples: np.ndarray) -> np.ndarray:
@@ -442,6 +453,18 @@ class GTOHaloBenchmarker:
         samples, sampling_times = self.generate_samples()
 
         results: Dict[str, Any] = {}
+        results["benchmark_config"] = {
+            "model_path": self.config.model_path,
+            "num_samples": self.config.num_samples,
+            "sampling_method": self.config.sampling_method,
+            "guidance_weight": self.config.guidance_weight,
+            "num_steps": self.config.num_steps or int(self.lm.sde.N),
+            "oracle_backend": self.config.oracle_backend,
+            "oracle_max_iters": self.config.oracle_max_iters,
+            "oracle_mbh_rounds": self.config.oracle_mbh_rounds,
+            "oracle_precision": self.config.oracle_precision,
+            "solver_mode": self.config.solver_mode,
+        }
         results["gto_halo_metrics"] = self.compute_gto_halo_metrics(samples)
         results["physical_validation"] = self.compute_physical_validation_metrics(samples)
         results["sampling_efficiency"] = sampling_efficiency_metrics(sampling_times)

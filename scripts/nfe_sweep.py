@@ -10,13 +10,25 @@ the headline number at no quality cost.
 
 For each N in ``--steps``, samples n trajectories with the PC/EM sampler
 (w=0, the reference benchmark configuration), grades them with the
-on-device oracle at LM-30 cold and LM-30 + MBH-8 (the budget README's
-same-oracle table headlines), and records steady-state sampling time
-measured on a second jit call (first call pays compile).
+on-device oracle at LM-``--max_iters`` cold and + MBH-``--mbh_rounds``
+(defaults = the budget README's same-oracle table headlines), and records
+steady-state sampling time measured on a post-compile jit call.
+
+Timing caveat: at low step counts (N<=250) a fixed per-call
+dispatch/transfer floor of a few hundred ms dominates the steady time,
+so traj_per_s scales sub-linearly in 1/N there (the artifact's
+``timing_note`` records this).
+
+Rows are keyed by (steps, seed, max_iters) and MERGED into an existing
+artifact, so seed-replication rows (``--seed 1``) and richer-budget rows
+(``--max_iters 100``) accumulate instead of clobbering the sweep.
+Feasible ratios carry 95% Wilson CIs (n is large but the N=250-vs-1000
+delta is small — the CI is what makes the comparison honest).
 
 Usage:
     python scripts/nfe_sweep.py ["Training Runs/<run>"] [n]
-        [--steps 100,250,500,1000] [--precision df32]
+        [--steps 100,250,500,1000] [--precision df32] [--seed 0]
+        [--max_iters 30] [--timing_only]
 
 Artifact: benchmark_results/nfe_sweep.json
 """
@@ -33,12 +45,26 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _wilson(k: int, n: int, z: float = 1.96):
+    p = k / n
+    den = 1 + z * z / n
+    centre = (p + z * z / (2 * n)) / den
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    return [round(max(0.0, centre - half), 4), round(min(1.0, centre + half), 4)]
+
+
+def _row_key(r, default_iters=30):
+    return (r["steps"], r.get("seed", 0), r.get("max_iters", default_iters))
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("run_dir", nargs="?", default="Training Runs/2026.08.17_184657")
     p.add_argument("n", nargs="?", type=int, default=1024)
     p.add_argument("--steps", default="100,250,500,1000")
     p.add_argument("--precision", default="df32")
+    p.add_argument("--seed", type=int, default=0,
+                   help="sampling PRNG seed (seed-replication rows)")
     p.add_argument("--max_iters", type=int, default=30)
     p.add_argument("--mbh_rounds", type=int, default=8)
     p.add_argument("--out", default="benchmark_results/nfe_sweep.json")
@@ -49,20 +75,21 @@ def main():
                         "columns carry over)")
     args = p.parse_args()
 
-    prior, prior_blob = {}, None
+    prior_blob, prior_rows = None, []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior_blob = json.load(f)
+        prior_rows = prior_blob["rows"]
     if args.timing_only:
         # --timing_only must never fall through to the full (expensive)
         # grading path: quality columns are carried over from the prior
         # artifact, so its absence — or a step with no prior row — is a
         # usage error, not a reason to silently regrade.  Checked before
         # the heavy model load so misuse fails in milliseconds.
-        if not os.path.exists(args.out):
-            p.error(f"--timing_only needs an existing artifact at "
-                    f"{args.out}")
-        with open(args.out) as f:
-            prior_blob = json.load(f)
-        prior = {r["steps"]: r for r in prior_blob["rows"]}
-        missing = [s for s in args.steps.split(",") if int(s) not in prior]
+        if prior_blob is None:
+            p.error(f"--timing_only needs an existing artifact at {args.out}")
+        have = {r["steps"] for r in prior_rows}
+        missing = [s for s in args.steps.split(",") if int(s) not in have]
         if missing:
             p.error(f"--timing_only: steps {missing} have no prior row in "
                     f"{args.out}; run a full grading pass for them first")
@@ -78,24 +105,28 @@ def main():
         enable_physical_validation=False, output_dir="/tmp/nfe_sweep"))
     cfg = bench.lm.cfg
 
-    rows = []
+    new_rows = []
     for steps in [int(s) for s in args.steps.split(",")]:
         sde = RVESDE(cfg.sde.sigma_min, cfg.sde.sigma_max, steps)
         if args.timing_only:
+            # Sampling time depends only on the step count: refresh the
+            # timing columns of EVERY prior row at this step count.
             _, t = generate_raw_samples(bench.lm, 2 * args.n, args.n,
-                                        sde_override=sde, seed=0)
-            row = dict(prior[steps],
-                       steady_sampling_s=round(min(t[1:]), 3),
-                       traj_per_s=round(args.n / min(t[1:]), 1))
-            rows.append(row)
-            print(row)
+                                        sde_override=sde, seed=args.seed)
+            steady = min(t[1:])
+            for r in prior_rows:
+                if r["steps"] == steps:
+                    r["steady_sampling_s"] = round(steady, 3)
+                    r["traj_per_s"] = round(args.n / steady, 1)
+            print({"steps": steps, "steady_sampling_s": round(steady, 3),
+                   "traj_per_s": round(args.n / steady, 1)})
             continue
         # Two batches through ONE jitted runner: batch 1 pays
         # trace+compile, batch 2 is the steady-state time (a separate
         # generate_raw_samples call would re-trace and re-load the XLA
         # cache, inflating sub-second step counts).  Grades the first n.
         raw2, t = generate_raw_samples(bench.lm, 2 * args.n, args.n,
-                                       sde_override=sde, seed=0)
+                                       sde_override=sde, seed=args.seed)
         raw, steady = raw2[:args.n], min(t[1:])
         phys = bench._inverse_pipeline(raw)
         guesses = phys[:, 1:].astype(np.float32)
@@ -109,21 +140,31 @@ def main():
                                     mbh_rounds=args.mbh_rounds,
                                     precision=args.precision)
         grade_s = time.time() - t0
+        k_mbh = int(mbh["feasible"].sum())
         row = {
             "steps": steps,
+            "seed": args.seed,
+            "max_iters": args.max_iters,
             "steady_sampling_s": round(steady, 3),
             "traj_per_s": round(args.n / steady, 1),
             "feasible_cold": round(float(cold["feasible"].mean()), 4),
             "optimal_cold": round(float(cold["optimal"].mean()), 4),
             "median_pos_err_cold": round(float(np.median(cold["pos_err"])), 4),
-            f"feasible_mbh{args.mbh_rounds}":
-                round(float(mbh["feasible"].mean()), 4),
+            f"feasible_mbh{args.mbh_rounds}": round(k_mbh / args.n, 4),
+            f"feasible_mbh{args.mbh_rounds}_ci95": _wilson(k_mbh, args.n),
             f"optimal_mbh{args.mbh_rounds}":
                 round(float(mbh["optimal"].mean()), 4),
             "grading_s": round(grade_s, 1),
         }
-        rows.append(row)
+        new_rows.append(row)
         print(row)
+
+    # merge: replace same-(steps, seed, max_iters) rows, append new ones
+    default_iters = (prior_blob or {}).get("oracle", {}).get("max_iters", 30)
+    merged = {_row_key(r, default_iters): r for r in prior_rows}
+    for r in new_rows:
+        merged[_row_key(r)] = r
+    rows = [merged[k] for k in sorted(merged)]
 
     # In --timing_only mode the quality columns were graded under the
     # PRIOR run's oracle configuration — carry its metadata over verbatim
@@ -140,6 +181,9 @@ def main():
         "n": args.n,
         "sampler": "pc/euler_maruyama w=0",
         "oracle": oracle_meta,
+        "row_key": "rows are keyed by (steps, seed, max_iters); missing "
+                   "seed/max_iters on old rows mean seed 0 and the oracle "
+                   "block's max_iters",
         "timing_note": "steady_sampling_s is the min of the post-compile "
                        "batches of one jitted runner; at low step counts "
                        "(N<=250) a fixed per-call dispatch/transfer floor "
