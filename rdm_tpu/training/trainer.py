@@ -176,7 +176,15 @@ def run(cfg, work_dir: str, checkpoint_path: str | None = None) -> None:
 
     num_train_steps = cfg.training.n_iters
     mprint(f"Starting training loop at step {initial_step}.")
-    rng = jax.random.PRNGKey(cfg.get("seed", 42))
+    # Per-step randomness (t, z, dropout, cond-drop) defaults to the
+    # hardware-RNG-backed "rbg" implementation: threefry bit generation
+    # is pure VPU work and costs a measured 12% of the training step
+    # (59.2 -> 52.2 ms at batch 4096 bf16; BENCH_NOTES "training-step
+    # decomposition").  Training draws carry no golden/bit-parity
+    # contract — set training.prng_impl=threefry2x32 to reproduce runs
+    # recorded under the JAX default.
+    prng_impl = cfg.training.get("prng_impl", "rbg")
+    rng = jax.random.key(cfg.get("seed", 42), impl=prng_impl)
     rng = jax.random.fold_in(rng, jax.process_index())
 
     stall_timeout = float(cfg.training.get("stall_timeout_s", 0) or 0)
