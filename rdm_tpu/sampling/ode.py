@@ -74,23 +74,40 @@ def _dopri45(f, t0, t1, y0, rtol, atol, max_steps=20_000):
     return y, nfe
 
 
-def get_ode_sampler(sde, shape, rtol=1e-5, atol=1e-5, eps=1e-3,
-                    moll=200, side_eps=1e-2):
-    """Create the probability-flow ODE sampler.
+def make_bump(moll):
+    """Mollifier damping the reverse drift near the cube faces:
+    exp((-1/(0.25 - (0.5 - x)^2) + 4) / moll), a smooth cutoff that
+    vanishes at the faces (reference ``sampling.py:371-375``).
+    ``moll=0`` disables damping (identity on the drift scale).
 
-    Returns ``ode_sampler(score_fn, key, denoiser_fn=None, z=None) -> (x, nfe)``.
+    The clip study (BENCH_NOTES "ODE/PC clip study",
+    ``benchmark_results/ode_clip_study.json``) shows this is
+    load-bearing: without it the ODE's control clipping doubles
+    (0.233 vs 0.103) and cold feasibility halves (0.272 vs 0.644).
     """
-    B = shape[0]
-
     def bump(x):
         if moll > 0:
-            # exp((-1/(0.25 - (0.5 - x)^2) + 4) / moll): smooth cutoff that
-            # vanishes at the faces (reference ``sampling.py:371-375``).
             inner = 0.5**2 - (0.5 - x) ** 2
             safe = jnp.maximum(inner, 1e-8)
             val = jnp.exp((-1.0 / safe + 4.0) / moll)
             return jnp.where(inner > 0, val, 0.0)
         return x
+    return bump
+
+
+def get_ode_sampler(sde, shape, rtol=1e-5, atol=1e-5, eps=1e-3,
+                    moll=200, side_eps=1e-2):
+    """Create the probability-flow ODE sampler.
+
+    ``side_eps`` insets the uniform init (reference ``sampling.py:362``);
+    the default 1e-2 keeps reference parity — widening to 5e-2 cuts
+    spherical-conversion clipping ~5x at equal-or-better statistics
+    (BENCH_NOTES "ODE/PC clip study") for clip-sensitive consumers.
+
+    Returns ``ode_sampler(score_fn, key, denoiser_fn=None, z=None) -> (x, nfe)``.
+    """
+    B = shape[0]
+    bump = make_bump(moll)
 
     def ode_sampler(score_fn, key, denoiser_fn=None, z=None):
         if z is None:

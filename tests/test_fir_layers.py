@@ -87,6 +87,8 @@ def test_upsample_conv_shapes_and_linearity():
     np.testing.assert_allclose(np.asarray(out2), 2 * np.asarray(out), rtol=1e-5)
 
 
+@pytest.mark.slow  # ~40 s of BigGAN up/down path compiles; layer-zoo
+# coverage for the core tier stays via test_fir_conv2d_module/test_normalization_zoo
 def test_biggan_block_paths():
     from rdm_tpu.models.layers import ResnetBlockBigGANpp
     act = jax.nn.silu

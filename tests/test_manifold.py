@@ -78,6 +78,8 @@ def test_target_lies_on_stable_manifold(alpha, tau, length, tol):
     assert d < 5e-2, f"forward-propagated target misses the halo by {d}"
 
 
+@pytest.mark.slow  # vmap+grad through the manifold propagation compiles ~35 s;
+# correctness of the same path is covered by the solver/oracle core tests
 def test_vmap_and_grad():
     alphas = jnp.asarray([0.02, 0.05], jnp.float32)
     taus = jnp.asarray([0.3, 0.7], jnp.float32)

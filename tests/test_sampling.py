@@ -152,3 +152,31 @@ def test_ode_denoiser_applied(sde):
                                np.clip(np.asarray(x_plain) - shift, 0.0, 1.0),
                                rtol=1e-6, atol=1e-6)
     assert int(nfe_deno) == int(nfe_plain) + 1
+
+
+def test_ode_mollifier_pinned():
+    """Pin the ODE sampler's chosen boundary behavior (clip study,
+    BENCH_NOTES "ODE/PC clip study"): default knobs moll=200 /
+    side_eps=1e-2 (reference parity, ``sampling.py:362,371-375``), the
+    mollifier vanishing smoothly at the cube faces, and moll=0 meaning
+    no damping."""
+    import inspect
+
+    from rdm_tpu.sampling.ode import get_ode_sampler, make_bump
+
+    sig = inspect.signature(get_ode_sampler)
+    assert sig.parameters["moll"].default == 200
+    assert sig.parameters["side_eps"].default == 1e-2
+
+    bump = make_bump(200)
+    x = jnp.array([0.0, 1e-4, 0.5, 1 - 1e-4, 1.0])
+    b = np.asarray(bump(x))
+    assert b[0] == 0.0 and b[4] == 0.0          # faces: drift killed
+    assert b[1] < 1e-3 and b[3] < 1e-3          # smooth approach to 0
+    assert 0.9 < b[2] <= 1.0                    # mid-cube: ~undamped
+    # monotone damping toward each face
+    xs = jnp.linspace(0.0, 0.5, 64)
+    bs = np.asarray(bump(xs))
+    assert (np.diff(bs) >= -1e-7).all()
+    # moll=0 disables the mollifier entirely (identity passthrough)
+    assert np.array_equal(np.asarray(make_bump(0)(x)), np.asarray(x))

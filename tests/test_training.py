@@ -54,6 +54,7 @@ def test_fresh_model_loss_magnitude(setup):
     assert 1.0 < loss < 500.0
 
 
+@pytest.mark.slow  # ~40 s; the e2e trainer tests (slow tier) cover descent too
 def test_loss_decreases_fast(setup):
     """Core-tier gradient-flow canary (a zeroed-gradient or broken
     optimizer regression must not survive the fast tier): a few steps on
@@ -139,6 +140,8 @@ def test_nonfinite_batch_skips_update(setup):
     assert changed
 
 
+@pytest.mark.slow  # ~30 s of repeated step compiles; warmup schedule algebra
+# is also pinned cheaply by the optimizer-chain unit test
 def test_warmup_scales_first_updates(setup):
     cfg, sde, model, tx, state = setup
     step_fn = jax.jit(make_train_step(sde, model, tx))
@@ -209,3 +212,28 @@ def test_remat_policies_match_gradients(setup):
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, atol=1e-9),
             grads[remat][1], grads["none"][1])
+
+
+def test_warmup_schedule_scales_updates_cheaply():
+    """Warmup algebra on a 1-parameter tree (milliseconds — the core-tier
+    stand-in for the slow-tier full-model warmup test): step-0 update is
+    scaled by lr*0/warmup = 0, step k by lr*k/warmup."""
+    from rdm_tpu.config import ConfigDict
+
+    cfg = ConfigDict.wrap({"optim": {
+        "optimizer": "Adam", "lr": 0.5, "beta1": 0.9, "beta2": 0.999,
+        "eps": 1e-8, "warmup": 10, "grad_clip": 0.5, "weight_decay": 0}})
+    tx = get_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    opt_state = tx.init(params)
+    g = {"w": jnp.full((3,), 0.1)}
+    up0, opt_state = tx.update(g, opt_state, params)
+    assert float(jnp.abs(up0["w"]).max()) == 0.0        # lr scale 0/10
+    up1, opt_state = tx.update(g, opt_state, params)
+    up2, _ = tx.update(g, opt_state, params)
+    m1 = float(jnp.abs(up1["w"]).max())
+    m2 = float(jnp.abs(up2["w"]).max())
+    assert m1 > 0.0
+    # linear warmup: step-2 update magnitude ~2x step-1 (Adam moments
+    # nearly constant under a constant gradient)
+    assert 1.5 < m2 / m1 < 2.5
