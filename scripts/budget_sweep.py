@@ -210,7 +210,13 @@ def main(argv=None):
             blob["cells"] = prior.get("cells", [])
         except Exception:
             pass
-    done = {(c["set"], c["max_iters"], c["mbh_rounds"]) for c in blob["cells"]}
+    # a cell is done only if it was graded at >= the requested n — asking
+    # for a larger n (e.g. tightening the uniform floor's CI to n=1024)
+    # re-grades and replaces the smaller-n cell
+    done = {}
+    for c in blob["cells"]:
+        k = (c["set"], c["max_iters"], c["mbh_rounds"])
+        done[k] = max(done.get(k, 0), c["n"])
 
     # cheapest cells first so partial runs cover the whole grid coarsely
     cells = sorted(
@@ -218,8 +224,11 @@ def main(argv=None):
         key=lambda c: c[0] * (1 + c[1]))
     for it, mbh in cells:
         for name, s in sets.items():
-            if (name, it, mbh) in done:
+            if done.get((name, it, mbh), 0) >= len(s):
                 continue
+            blob["cells"] = [c for c in blob["cells"]
+                             if (c["set"], c["max_iters"], c["mbh_rounds"])
+                             != (name, it, mbh)]
             he, G = s[:, 0], s[:, 1:]
             t0 = time.time()
             res = evaluate_warmstarts_native(
